@@ -1,0 +1,86 @@
+"""Benchmark: reads aligned per second per chip (the BASELINE.json north star).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config: 100bp reads vs an E.coli-scale (4.6 Mbp) synthetic genome, default
+sensitivity, both strands — BASELINE.json config 1 shape.  Runs on whatever
+jax.devices()[0] is (the real TPU chip under the driver).
+
+vs_baseline: the reference publishes no absolute throughput numbers
+(BASELINE.md); the divisor below is a documented estimate of the reference
+C++ aligner's throughput on a contemporary many-core server for this config
+(~100k reads/s across ~32 threads, from the reference's "competitive with
+BWA-class aligners" positioning), so vs_baseline ~= speedup per chip vs a
+full reference server.  Replace with a measured row when a reference build
+is available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_READS_PER_SEC_EST = 100_000.0
+
+
+def main() -> None:
+    import jax
+
+    from biokanga_tpu.align.params import AlignParams
+    from biokanga_tpu.align.pipeline import AlignEngine
+    from biokanga_tpu.index.build import build_index
+    from biokanga_tpu.index.device import to_device
+    from biokanga_tpu.sim.simreads import random_genome, simulate_reads
+
+    genome_len = 4_600_000
+    n_reads = 200_000
+    read_len = 100
+    batch = 8192
+
+    seqs = random_genome([("chr", genome_len)], seed=42)
+    t0 = time.monotonic()
+    idx = build_index(seqs, lut_bases=12)
+    t_index = time.monotonic() - t0
+
+    names, reads, truths = simulate_reads(
+        seqs, n_reads, read_len=read_len, sub_rate=0.01, seed=9
+    )
+    lengths = np.full(len(reads), read_len, dtype=np.int32)
+
+    engine = AlignEngine(to_device(idx), AlignParams(batch_size=batch))
+
+    # warmup/compile
+    engine.align_batch(reads[:batch], lengths[:batch])
+
+    t0 = time.monotonic()
+    n_unique = 0
+    for i in range(0, n_reads, batch):
+        res = engine.align_batch(reads[i : i + batch], lengths[i : i + batch])
+        n_unique += int(res["unique"].sum())
+    dt = time.monotonic() - t0
+    rps = n_reads / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads_aligned_per_sec_per_chip",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / REFERENCE_READS_PER_SEC_EST, 3),
+                "detail": {
+                    "genome_bp": genome_len,
+                    "read_len": read_len,
+                    "n_reads": n_reads,
+                    "unique_frac": round(n_unique / n_reads, 4),
+                    "index_build_s": round(t_index, 2),
+                    "align_s": round(dt, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

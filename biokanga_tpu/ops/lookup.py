@@ -1,0 +1,106 @@
+"""Batched seed-range lookup on the 32-base-bounded suffix array.
+
+Replaces the reference's per-core pointer-chasing binary search
+(CSfxArrayV3::LocateFirstExact/LocateLastExact,
+libbiokanga/SfxArrayV2.cpp:7765,7914) with a fixed-trip, fully batched
+binary search over (hi, lo) uint32 key pairs, seeded by a direct-address
+prefix LUT.  Every step is a dense gather over the whole query batch —
+the XLA/TPU-friendly reformulation of "binary search per seed".
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# 31 halvings always converge for n < 2^31 elements.
+_MAX_BSEARCH_STEPS = 31
+
+
+def _lower_bound(key_hi, key_lo, lo0, hi0, q_hi, q_lo, strict: bool):
+    """First index i in [lo0, hi0] with key[i] > q (strict) or >= q.
+
+    All args batched; fixed trip count so the loop is XLA-unrollable.
+    """
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        kh = key_hi[mid]
+        kl = key_lo[mid]
+        if strict:
+            gt = (kh > q_hi) | ((kh == q_hi) & (kl > q_lo))
+        else:
+            gt = (kh > q_hi) | ((kh == q_hi) & (kl >= q_lo))
+        new_hi = jnp.where(gt, mid, hi)
+        new_lo = jnp.where(gt, lo, mid + 1)
+        # when lo == hi we are converged; keep stable
+        done = lo >= hi
+        return jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi)
+
+    lo, hi = jax.lax.fori_loop(0, _MAX_BSEARCH_STEPS, body, (lo0, hi0))
+    return lo
+
+
+@partial(jax.jit, static_argnames=("lut_bases",))
+def seed_range_lookup(
+    key_hi: jax.Array,   # (n,) uint32 sorted keys (primary)
+    key_lo: jax.Array,   # (n,) uint32 sorted keys (secondary)
+    lut: jax.Array,      # (4^P + 1,) int32 bucket starts
+    lut_bases: int,
+    q_lo_hi: jax.Array,  # query lower bound, hi word  (any batch shape)
+    q_lo_lo: jax.Array,  # query lower bound, lo word
+    q_hi_hi: jax.Array,  # query upper bound, hi word
+    q_hi_lo: jax.Array,  # query upper bound, lo word
+):
+    """Return (start, end) index ranges: all i with qlow <= key[i] <= qhigh."""
+    P = lut_bases
+    shift = jnp.uint32(32 - 2 * P)
+    pfx_lo = (q_lo_hi >> shift).astype(jnp.int32)
+    pfx_hi = (q_hi_hi >> shift).astype(jnp.int32)
+    lo0 = lut[pfx_lo]
+    hi0 = lut[pfx_hi + 1]
+    start = _lower_bound(key_hi, key_lo, lo0, hi0, q_lo_hi, q_lo_lo, strict=False)
+    end = _lower_bound(key_hi, key_lo, lo0, hi0, q_hi_hi, q_hi_lo, strict=True)
+    return start, end
+
+
+def pack_read_kmers(codes: jax.Array, offsets, k: int):
+    """Pack k bases at each static offset of each read into query bounds.
+
+    codes: (B, L) int8 device array; offsets: static tuple of core offsets.
+    Returns (q_lo_hi, q_lo_lo, q_hi_hi, q_hi_lo), each (B, S) uint32, plus
+    (B, S) bool `has_n` marking cores containing an N (those never match in
+    the reference — commdefs.h eBaseN semantics — and are masked out).
+    """
+    assert 1 <= k <= 32
+    B = codes.shape[0]
+    S = len(offsets)
+    offs = jnp.asarray(offsets, dtype=jnp.int32)  # (S,)
+    # (B, S, k) base codes
+    idx = offs[None, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    bases = jnp.take_along_axis(
+        codes[:, None, :].astype(jnp.int32),
+        jnp.broadcast_to(idx, (B, S, k)),
+        axis=2,
+    )
+    has_n = jnp.any(bases >= 4, axis=2)
+    b2 = jnp.where(bases >= 4, 0, bases).astype(jnp.uint32)
+
+    k_hi = min(k, 16)
+    shifts_hi = jnp.uint32(2) * (jnp.uint32(15) - jnp.arange(k_hi, dtype=jnp.uint32))
+    hi = jnp.sum(b2[..., :k_hi] << shifts_hi, axis=2, dtype=jnp.uint32)
+    if k > 16:
+        k_lo = k - 16
+        shifts_lo = jnp.uint32(2) * (
+            jnp.uint32(15) - jnp.arange(k_lo, dtype=jnp.uint32)
+        )
+        lo = jnp.sum(b2[..., 16:] << shifts_lo, axis=2, dtype=jnp.uint32)
+        pad_lo = jnp.uint32((1 << (2 * (32 - k))) - 1)
+        return hi, lo, hi, lo | pad_lo, has_n
+    else:
+        pad_hi = jnp.uint32((1 << (2 * (16 - k))) - 1)
+        zero = jnp.zeros_like(hi)
+        ones = jnp.full_like(hi, 0xFFFFFFFF)
+        return hi, zero, hi | pad_hi, ones, has_n

@@ -1,0 +1,169 @@
+"""NGS read simulator with ground truth in read descriptors.
+
+Capability match for `biokanga simreads` (biokanga/SimReads.cpp): SE/PE
+read generation with controlled substitution rates, emitting the reference
+descriptor format so alignment correctness is measurable by parsing
+aligner output against descriptors:
+
+  @lcl|usimreads|<readnum>|<chrom>|<start>|<end>|<len>|<strand>|<hamming>|<subs>|<indel>
+
+(format: biokanga/SimReads.cpp:3054-3056; start/end are 1-based inclusive.)
+Host-side numpy; this is the test-pyramid foundation (SURVEY.md §4.1).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..seq.encode import revcomp
+
+
+@dataclass
+class SimReadTruth:
+    readnum: int
+    chrom: str
+    start: int   # 1-based inclusive
+    end: int     # 1-based inclusive
+    length: int
+    strand: str  # '+' or '-'
+    subs: int
+    indels: int = 0
+
+    def descriptor(self) -> str:
+        return (
+            f"lcl|usimreads|{self.readnum:08d}|{self.chrom}|{self.start}"
+            f"|{self.end}|{self.length}|{self.strand}|0|{self.subs}|{self.indels}"
+        )
+
+    @staticmethod
+    def parse(name: str) -> "SimReadTruth":
+        f = name.split("|")
+        assert f[0] == "lcl" and f[1] == "usimreads", f"not a simreads name: {name}"
+        return SimReadTruth(
+            readnum=int(f[2]),
+            chrom=f[3],
+            start=int(f[4]),
+            end=int(f[5]),
+            length=int(f[6]),
+            strand=f[7],
+            subs=int(f[9]),
+            indels=int(f[10]),
+        )
+
+
+def simulate_reads(
+    seqs: list[tuple[str, np.ndarray]],
+    num_reads: int,
+    read_len: int = 100,
+    sub_rate: float = 0.0,
+    max_subs_per_read: int | None = None,
+    strand: str = "both",
+    seed: int = 1,
+    pe: bool = False,
+    insert_min: int = 200,
+    insert_max: int = 500,
+):
+    """Generate reads. Returns (names, codes (N,L) int8, truths list).
+
+    For PE, returns 2N rows: rows 2i / 2i+1 are the 5' and 3' ends, the 3'
+    end reverse-complemented (standard FR orientation).
+    """
+    rng = np.random.default_rng(seed)
+    lens = np.array([len(s) for _, s in seqs], dtype=np.int64)
+    usable = lens - (insert_max if pe else read_len)
+    if (usable < 0).all():
+        raise ValueError("all sequences shorter than read/insert length")
+    weights = np.maximum(usable + 1, 0).astype(np.float64)
+    weights /= weights.sum()
+
+    names: list[str] = []
+    rows: list[np.ndarray] = []
+    truths: list[SimReadTruth] = []
+
+    def mutate(codes: np.ndarray) -> tuple[np.ndarray, int]:
+        if sub_rate <= 0:
+            return codes, 0
+        nsub = rng.binomial(len(codes), sub_rate)
+        if max_subs_per_read is not None:
+            nsub = min(nsub, max_subs_per_read)
+        if nsub == 0:
+            return codes, 0
+        out = codes.copy()
+        pos = rng.choice(len(codes), size=nsub, replace=False)
+        offset = rng.integers(1, 4, size=nsub)
+        out[pos] = (out[pos] + offset) % 4
+        return out, int(nsub)
+
+    n_frag = num_reads
+    for i in range(n_frag):
+        ei = rng.choice(len(seqs), p=weights)
+        name_e, s = seqs[ei]
+        if pe:
+            insert = int(rng.integers(insert_min, insert_max + 1))
+            insert = min(insert, len(s))
+            start0 = int(rng.integers(0, len(s) - insert + 1))
+            frag = s[start0 : start0 + insert]
+            minus = strand == "both" and rng.random() < 0.5 or strand == "-"
+            if minus:
+                frag = revcomp(frag)
+            r1 = frag[:read_len].copy()
+            r2 = revcomp(frag[-read_len:])
+            for mate, r in ((1, r1), (2, r2)):
+                rm, nsub = mutate(r)
+                # genomic footprint of this mate
+                if mate == 1:
+                    g0 = start0 if not minus else start0 + insert - read_len
+                    gstrand = "-" if minus else "+"
+                else:
+                    g0 = start0 + insert - read_len if not minus else start0
+                    gstrand = "+" if minus else "-"
+                t = SimReadTruth(
+                    readnum=2 * i + mate - 1,
+                    chrom=name_e,
+                    start=g0 + 1,
+                    end=g0 + read_len,
+                    length=read_len,
+                    strand=gstrand,
+                    subs=nsub,
+                )
+                names.append(t.descriptor())
+                rows.append(rm)
+                truths.append(t)
+        else:
+            start0 = int(rng.integers(0, len(s) - read_len + 1))
+            r = s[start0 : start0 + read_len].copy()
+            if strand == "both":
+                minus = bool(rng.random() < 0.5)
+            else:
+                minus = strand == "-"
+            if minus:
+                r = revcomp(r)
+            rm, nsub = mutate(r)
+            t = SimReadTruth(
+                readnum=i,
+                chrom=name_e,
+                start=start0 + 1,
+                end=start0 + read_len,
+                length=read_len,
+                strand="-" if minus else "+",
+                subs=nsub,
+            )
+            names.append(t.descriptor())
+            rows.append(rm)
+            truths.append(t)
+
+    codes = np.stack(rows).astype(np.int8)
+    return names, codes, truths
+
+
+def random_genome(
+    entries: list[tuple[str, int]], seed: int = 7, gc: float = 0.5
+) -> list[tuple[str, np.ndarray]]:
+    """Pseudorandom genome entries (cf. kangax synthetic-genome benchmark
+    mode, biokanga/kangax.cpp:26-29)."""
+    rng = np.random.default_rng(seed)
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return [
+        (name, rng.choice(4, size=n, p=p).astype(np.int8)) for name, n in entries
+    ]
