@@ -55,8 +55,11 @@ def main() -> None:
 
     t0 = time.monotonic()
     n_unique = 0
-    for i in range(0, n_reads, batch):
-        res = engine.align_batch(reads[i : i + batch], lengths[i : i + batch])
+    blocks = (
+        (reads[i : i + batch], lengths[i : i + batch])
+        for i in range(0, n_reads, batch)
+    )
+    for res in engine.align_stream(blocks):
         n_unique += int(res["unique"].sum())
     dt = time.monotonic() - t0
     rps = n_reads / dt

@@ -66,6 +66,9 @@ class AlignParams:
     # the reference's per-core iteration cap MaxIter=50000, SfxArrayV2.h:12)
     cand_per_core: int = 48
     rescue_cand_per_core: int = 1024
+    # post-dedup unique-locus cap per strand; truncation raises the
+    # overflow flag so affected reads go through the rescue pass
+    max_cand_per_strand: int = 192
     batch_size: int = 4096
 
     def derive(self, read_len: int, genome_len: int) -> "DerivedParams":

@@ -29,35 +29,69 @@ import numpy as np
 
 from ..index.device import DeviceIndex
 from ..ops.extend import MM_INVALID, best_hit_reduce, hamming_extend
+from ..ops.extend_packed import (
+    MAX_PACKED_READ_LEN,
+    hamming_extend_packed,
+    pack_reads,
+)
 from ..ops.lookup import pack_read_kmers, seed_range_lookup
 from .params import AlignParams, DerivedParams
 
 _I32_MAX = np.int32(2**31 - 1)
 
 
-def _rc_reads(reads: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Per-read reverse complement keeping padding at the tail."""
+def _rc_reads(reads: jax.Array, lengths: jax.Array,
+              uniform: bool = False) -> jax.Array:
+    """Per-read reverse complement keeping padding at the tail.
+
+    uniform=True (all reads exactly fill the padded width — the common
+    case, known statically on host) skips the per-row roll, which would
+    otherwise cost a per-element gather."""
     L = reads.shape[1]
     flipped = reads[:, ::-1]
     rc = jnp.where(flipped >= 4, flipped, 3 - flipped).astype(reads.dtype)
+    if uniform:
+        return rc
     # rc currently has (L - len) pad codes at the front; roll left per read
     col = (jnp.arange(L, dtype=jnp.int32)[None, :] + (L - lengths)[:, None]) % L
     return jnp.take_along_axis(rc, col, axis=1)
 
 
-def _strand_candidates(didx_arrays, seq, dp: DerivedParams, H: int):
-    """Candidate loci for one strand: (B, S*H) loci + validity."""
-    key_hi, key_lo, lut, pos_sorted, lut_bases = didx_arrays
-    n = pos_sorted.shape[0]
+def _strand_candidates(
+    didx_arrays, seq, dp: DerivedParams, H: int, cand_cap: int
+):
+    """Candidate loci for one strand: (B, C) loci + validity, C <= cand_cap.
+
+    Steps: pack cores -> LUT/binary-search range -> contiguous slice-gather
+    of up to H SA positions per core -> diagonal dedup (sort + neighbour
+    mask) -> compact to the first cand_cap unique loci (invalid sentinels
+    sort last, so slicing keeps all real candidates unless they exceed the
+    cap, which raises the overflow flag -> rescue pass).
+    """
+    key_hi, key_lo, lut, pos_sorted, lut_bases, max_steps = didx_arrays
     S = len(dp.offsets)
     qlh, qll, qhh, qhl, has_n = pack_read_kmers(seq, dp.offsets, dp.core_len)
-    start, end = seed_range_lookup(key_hi, key_lo, lut, lut_bases, qlh, qll, qhh, qhl)
+    start, end = seed_range_lookup(
+        key_hi, key_lo, lut, lut_bases, qlh, qll, qhh, qhl,
+        core_len=dp.core_len, max_steps=max_steps,
+    )
     size = end - start
     overflow = size > H
+    # contiguous candidate runs: one aligned slice per (read, core).
+    # Slices are widened to 16-int-aligned boundaries (aligned gathers are
+    # far cheaper) and the true start extracted with a 16-way select.
+    # (pos_sorted is tail-padded by MAX_CAND_PER_CORE in DeviceIndex.)
+    Hw = H + 16
+    a_start = (start & ~jnp.int32(15)).reshape(-1)
+    wide = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pos_sorted, (s,), (Hw,))
+    )(a_start).reshape(start.shape + (Hw,))
+    frac = (start & 15)[..., None]               # (B, S, 1) in [0, 16)
+    pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
+    for t in range(16):
+        pos = jnp.where(frac == t, wide[..., t : t + H], pos)
     j = jnp.arange(H, dtype=jnp.int32)
-    idx = start[..., None] + j  # (B, S, H)
     in_range = j[None, None, :] < jnp.minimum(size, H)[..., None]
-    pos = pos_sorted[jnp.clip(idx, 0, n - 1)]
     offs = jnp.asarray(dp.offsets, dtype=jnp.int32)
     diag = pos - offs[None, :, None]
     valid = in_range & (~has_n[..., None]) & (diag >= 0)
@@ -66,13 +100,23 @@ def _strand_candidates(didx_arrays, seq, dp: DerivedParams, H: int):
     flat = jnp.where(valid, diag, _I32_MAX).reshape(B, S * H)
     # diagonal dedup: identical loci discovered via different cores are one
     # alignment (the reference dedups via its per-thread tsIdentNode hash,
-    # SfxArrayV2.h:15-16); sort + neighbour-mask is the batched equivalent
-    srt = jax.lax.sort(flat, dimension=1)
+    # SfxArrayV2.h:15-16); sort + neighbour-mask is the batched equivalent.
+    # Sort along the MAJOR axis (candidates) with reads vectorised across
+    # lanes — minor-axis sort is cross-lane and an order of magnitude slower.
+    srt_t = jax.lax.sort(flat.T, dimension=0)     # (S*H, B)
+    srt = srt_t.T
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), srt[:, 1:] == srt[:, :-1]], axis=1
     )
     v = (srt != _I32_MAX) & (~dup)
-    return srt, v, jnp.any(overflow, axis=1)
+    C = min(cand_cap, S * H)
+    if C < S * H:
+        trunc = jnp.any(v[:, C:], axis=1)
+        overflow_any = jnp.any(overflow, axis=1) | trunc
+        srt, v = srt[:, :C], v[:, :C]
+    else:
+        overflow_any = jnp.any(overflow, axis=1)
+    return srt, v, overflow_any
 
 
 class AlignEngine:
@@ -83,17 +127,20 @@ class AlignEngine:
         self.params = params or AlignParams()
         self._jitted = {}
 
-    def _fn(self, dp: DerivedParams, H: int, strand: str):
-        key = (dp, H, strand)
+    def _fn(self, dp: DerivedParams, H: int, strand: str, use_packed: bool,
+            cand_cap: int, uniform: bool):
+        key = (dp, H, strand, use_packed, cand_cap, uniform)
         if key in self._jitted:
             return self._jitted[key]
         didx = self.didx
         lut_bases = didx.lut_bases
+        max_steps = didx.max_bsearch_steps
+        packed = didx.packed if use_packed else None
         ap = self.params
 
         def run(genome, entry_starts, pos_sorted, key_hi, key_lo, lut,
                 reads, lengths):
-            arrays = (key_hi, key_lo, lut, pos_sorted, lut_bases)
+            arrays = (key_hi, key_lo, lut, pos_sorted, lut_bases, max_steps)
             # per-read mismatch budget from ACTUAL read length — the
             # reference computes MaxTotMM per read (Aligner.cpp:9084-9090)
             if ap.max_subs_per100 == 0:
@@ -110,12 +157,21 @@ class AlignEngine:
             if strand in ("both", "sense"):
                 strands.append((reads, False))
             if strand in ("both", "antisense"):
-                strands.append((_rc_reads(reads, lengths), True))
+                strands.append((_rc_reads(reads, lengths, uniform), True))
 
             loci_parts, valid_parts, mm_parts, ovf = [], [], [], None
             for seq, is_rc in strands:
-                loci, vmask, o = _strand_candidates(arrays, seq, dp, H)
-                mm = hamming_extend(genome, entry_starts, loci, vmask, seq, lengths)
+                loci, vmask, o = _strand_candidates(arrays, seq, dp, H, cand_cap)
+                if packed is not None:
+                    rcodes, rnlane = pack_reads(seq, lengths)
+                    mm = hamming_extend_packed(
+                        packed, entry_starts, loci, vmask, rcodes, rnlane,
+                        lengths,
+                    )
+                else:
+                    mm = hamming_extend(
+                        genome, entry_starts, loci, vmask, seq, lengths
+                    )
                 loci_parts.append(loci)
                 valid_parts.append(vmask)
                 mm_parts.append(mm)
@@ -152,20 +208,54 @@ class AlignEngine:
         self._jitted[key] = jitted
         return jitted
 
-    def align_batch(self, reads: np.ndarray, lengths: np.ndarray, H=None):
-        """reads: (B, L) int8 host array. Returns host-side result dict."""
+    def launch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
+               cand_cap=None):
+        """Dispatch one batch asynchronously; returns (device dict, dp)."""
         B, L = reads.shape
         dp = self.params.derive(int(L), self.didx.total_len)
         H = int(H or self.params.cand_per_core)
-        fn = self._fn(dp, H, self.params.strand)
+        if cand_cap is None:
+            cand_cap = self.params.max_cand_per_strand
+        use_packed = self.didx.packed is not None and L <= MAX_PACKED_READ_LEN
+        uniform = bool(np.all(lengths == L))
+        fn = self._fn(dp, H, self.params.strand, use_packed, int(cand_cap),
+                      uniform)
         d = self.didx
         out = fn(
             d.genome, d.entry_starts, d.pos_sorted, d.key_hi, d.key_lo, d.lut,
             jnp.asarray(reads), jnp.asarray(lengths),
         )
+        return out, dp
+
+    def align_batch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
+                    cand_cap=None):
+        """reads: (B, L) int8 host array. Returns host-side result dict."""
+        out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap)
         res = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
         res["derived"] = dp
         return res
+
+    def align_stream(self, blocks):
+        """Double-buffered batch driver: keeps one batch in flight so host
+        transfer/dispatch overlaps device compute (the TPU analogue of the
+        reference's loader-thread pipelining, Aligner.cpp:4820,10394).
+
+        blocks: iterator of (reads, lengths); yields host result dicts.
+        """
+        pending = None
+        for reads, lengths in blocks:
+            out, dp = self.launch(reads, lengths)
+            if pending is not None:
+                p_out, p_dp = pending
+                res = {k: np.asarray(v) for k, v in jax.device_get(p_out).items()}
+                res["derived"] = p_dp
+                yield res
+            pending = (out, dp)
+        if pending is not None:
+            p_out, p_dp = pending
+            res = {k: np.asarray(v) for k, v in jax.device_get(p_out).items()}
+            res["derived"] = p_dp
+            yield res
 
     def align_with_rescue(self, reads: np.ndarray, lengths: np.ndarray):
         """Primary pass + wider rescue pass for overflowed, unaccepted reads
@@ -178,7 +268,7 @@ class AlignEngine:
             Hr = self.params.rescue_cand_per_core
             # pad subset to a power-of-two bucket so recompiles are bounded
             sub_r, sub_l = pad_rows(reads[rows], lengths[rows])
-            sub = self.align_batch(sub_r, sub_l, H=Hr)
+            sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=1 << 30)
             k_n = len(rows)
             for k in ("unique", "any_hit", "best_mm", "inst", "locus", "is_rc"):
                 res[k][rows] = sub[k][:k_n]

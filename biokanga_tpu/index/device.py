@@ -7,7 +7,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.extend_packed import PackedGenome, pack_genome
 from .build import GenomeIndex
+
+# pos_sorted is padded by this many slots so candidate runs can be read with
+# contiguous dynamic slices (no per-element clip); engines assert H <= this.
+MAX_CAND_PER_CORE = 4096
 
 
 @dataclass
@@ -19,27 +24,46 @@ class DeviceIndex:
 
     genome: jax.Array        # (n,) int8
     entry_starts: jax.Array  # (E+1,) int32 (single shard < 2^31 bases)
-    pos_sorted: jax.Array    # (n,) int32
+    pos_sorted: jax.Array    # (n + MAX_CAND_PER_CORE,) int32 (tail-padded)
     key_hi: jax.Array        # (n,) uint32
     key_lo: jax.Array        # (n,) uint32
     lut: jax.Array           # (4^P+1,) int32
     lut_bases: int
     entry_names: list[str]
+    packed: PackedGenome | None = None  # 2-bit row-packed genome (fast path)
+    # ceil(log2(max LUT bucket + 1)) + 1 — static binary-search trip bound
+    max_bsearch_steps: int = 31
 
     @property
     def total_len(self) -> int:
         return int(self.genome.shape[0])
 
 
-def to_device(idx: GenomeIndex, device=None) -> DeviceIndex:
+def to_device(idx: GenomeIndex, device=None, pack: bool = True) -> DeviceIndex:
     put = lambda a: jax.device_put(np.asarray(a), device)
+    packed = None
+    if pack:
+        pg = pack_genome(idx.codes)
+        packed = PackedGenome(
+            rows=put(pg.rows),
+            n_rows=None if pg.n_rows is None else put(pg.n_rows),
+            length=pg.length,
+        )
+    pos_padded = np.concatenate(
+        [idx.pos_sorted.astype(np.int32),
+         np.zeros(MAX_CAND_PER_CORE, np.int32)]
+    )
+    max_bucket = int(np.diff(idx.lut.astype(np.int64)).max())
+    steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
     return DeviceIndex(
         genome=put(idx.codes),
         entry_starts=put(idx.entry_starts.astype(np.int32)),
-        pos_sorted=put(idx.pos_sorted.astype(np.int32)),
+        pos_sorted=put(pos_padded),
         key_hi=put(idx.key_hi),
         key_lo=put(idx.key_lo),
         lut=put(idx.lut.astype(np.int32)),
         lut_bases=idx.lut_bases,
         entry_names=list(idx.entry_names),
+        packed=packed,
+        max_bsearch_steps=steps,
     )

@@ -1,0 +1,182 @@
+"""Packed Hamming extension: 2-bit genome rows + XOR/popcount.
+
+Performance reformulation of ops/extend.hamming_extend (same contract):
+the genome is pre-packed 2 bits/base into OVERLAPPING rows of 16 uint32
+words (256 bases per row, stride 128 bases), so a candidate window of up
+to 128 bases is covered by exactly ONE 64-byte row gather.  TPU gathers
+are issue-rate bound (~tens of millions of rows/s regardless of row
+width, measured), so one wide gather beats two narrow ones; all
+subsequent word extraction is static selects (no per-element gathers),
+and mismatch counting is XOR + lane-OR + population_count on the VPU.
+
+This implements the SURVEY §7.3 kernel plan ("gather genome windows and
+popcount-XOR 2-bit-packed lanes") and reproduces the reference's
+extension semantics (byte-wise mismatch count in LocateCoreMultiples,
+libbiokanga/SfxArrayV2.cpp:5693+) with the N rule: any position where
+either side is N counts as a mismatch (genome N lanes are carried in a
+separate 2-bit "N plane", only materialised when the genome contains Ns).
+
+Reads longer than 128 bases fall back to the dense path (a strided
+multi-row variant follows for the 256 Kbp long-read regime).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MM_INVALID = 255
+
+BASES_PER_WORD = 16
+ROW_STRIDE_BASES = 128          # row i starts at base 128*i
+ROW_WORDS = 16                  # 256 bases per (overlapping) row
+MAX_PACKED_READ_LEN = 128       # 127 max in-row offset + 128 <= 256 err: 255
+
+
+@dataclass
+class PackedGenome:
+    rows: jax.Array           # (R, 16) uint32 overlapping rows, N packed as 0
+    n_rows: jax.Array | None  # (R, 16) uint32 — 0b11 lanes at N positions
+    length: int               # genome length in bases
+
+    @property
+    def has_n(self) -> bool:
+        return self.n_rows is not None
+
+
+def _pack_words(v: np.ndarray) -> np.ndarray:
+    """(16k,) uint32 base codes -> (k,) uint32 packed words, MSB-first."""
+    v = v.reshape(-1, BASES_PER_WORD)
+    words = np.zeros(v.shape[0], dtype=np.uint32)
+    for j in range(BASES_PER_WORD):
+        words |= v[:, j] << np.uint32(2 * (15 - j))
+    return words
+
+
+def _overlap_rows(words: np.ndarray) -> np.ndarray:
+    """(W,) words -> (W//8, 16) overlapping rows: row i = words[8i : 8i+16]."""
+    W = len(words)
+    R = W // 8
+    out = np.zeros((R, ROW_WORDS), dtype=np.uint32)
+    for j in range(ROW_WORDS):
+        src = words[j : j + 8 * R : 8]
+        out[: len(src), j] = src
+    return out
+
+
+def pack_genome(codes: np.ndarray) -> PackedGenome:
+    """Host-side packing of int8 codes into PackedGenome (numpy)."""
+    n = len(codes)
+    # enough full rows that row (n >> 7) + its 16 words exist
+    n_words = 8 * ((n // ROW_STRIDE_BASES) + 4)
+    total = n_words * BASES_PER_WORD
+    b = np.zeros(total, dtype=np.uint32)
+    b[:n] = codes.astype(np.uint32)
+    is_n = b >= 4
+    b[is_n] = 0
+
+    rows = _overlap_rows(_pack_words(b))
+    if is_n[:n].any():
+        n_rows = _overlap_rows(
+            _pack_words(np.where(is_n, np.uint32(3), np.uint32(0)))
+        )
+    else:
+        n_rows = None
+    return PackedGenome(
+        rows=jnp.asarray(rows),
+        n_rows=None if n_rows is None else jnp.asarray(n_rows),
+        length=n,
+    )
+
+
+def pack_reads(reads: jax.Array, lengths: jax.Array):
+    """Pack (B, L) int8 reads (N=4, padded) into (B, W) uint32 code words and
+    (B, W) uint32 N-plane words, W = ceil(L/16)."""
+    B, L = reads.shape
+    W = -(-L // BASES_PER_WORD)
+    pad = W * BASES_PER_WORD - L
+    r = reads.astype(jnp.uint32)
+    if pad:
+        r = jnp.pad(r, ((0, 0), (0, pad)), constant_values=4)
+    is_n = r >= 4
+    codes = jnp.where(is_n, 0, r).reshape(B, W, BASES_PER_WORD)
+    nlane = jnp.where(is_n, jnp.uint32(3), jnp.uint32(0)).reshape(
+        B, W, BASES_PER_WORD
+    )
+    shifts = jnp.uint32(2) * (jnp.uint32(15) - jnp.arange(16, dtype=jnp.uint32))
+    pack = lambda v: jnp.sum(v << shifts, axis=2, dtype=jnp.uint32)
+    return pack(codes), pack(nlane)
+
+
+def _extract_aligned_words(row: jax.Array, s: jax.Array, W: int):
+    """row: (..., 16) uint32 (one overlapping row); s: (...,) start base
+    offset in [0, 128). Returns (..., W) uint32 windows aligned to the base
+    boundary.  Word selection uses static selects over the 8 possible word
+    offsets — NO per-element gathers (those are issue-rate poison on TPU).
+    """
+    s16 = (s >> 4).astype(jnp.int32)           # word offset 0..7
+    sh = (jnp.uint32(2) * (s & 15).astype(jnp.uint32))[..., None]  # 0..30
+    w = jnp.zeros(row.shape[:-1] + (W + 1,), dtype=jnp.uint32)
+    for t in range(8):
+        w = jnp.where((s16 == t)[..., None], row[..., t : t + W + 1], w)
+    hi = w[..., :W] << sh
+    lo = jnp.where(sh > 0, w[..., 1 : W + 1] >> (jnp.uint32(32) - sh), 0)
+    return hi | lo
+
+
+def hamming_extend_packed(
+    pg: PackedGenome,
+    entry_starts: jax.Array,   # (E+1,) int32
+    loci: jax.Array,           # (B, C) int32
+    valid: jax.Array,          # (B, C) bool
+    rcodes: jax.Array,         # (B, W) uint32 packed read code words
+    rnlane: jax.Array,         # (B, W) uint32 packed read N-plane words
+    lengths: jax.Array,        # (B,) int32
+):
+    """(B, C) uint8 mismatch counts; MM_INVALID where masked. Same contract
+    as ops/extend.hamming_extend but HBM-gather-optimal."""
+    B, C = loci.shape
+    W = rcodes.shape[1]
+    assert W <= 8, "packed path supports reads <= 128 bases"
+    n = pg.length
+    R = pg.rows.shape[0]
+
+    # entry containment (identical to the dense path)
+    starts32 = entry_starts.astype(jnp.int32)
+    ent_a = jnp.searchsorted(starts32, loci, side="right") - 1
+    last = loci + (lengths[:, None] - 1)
+    ent_b = jnp.searchsorted(starts32, last, side="right") - 1
+    valid = valid & (loci >= 0) & (last < n) & (ent_a == ent_b)
+
+    r0 = jnp.clip(loci >> 7, 0, R - 1)          # (B, C) row index
+    s = (loci & 127).astype(jnp.int32)
+    row = pg.rows[r0]                            # ONE 64B gather / candidate
+    win = _extract_aligned_words(row, s, W)      # (B, C, W)
+
+    x = win ^ rcodes[:, None, :]
+    x = x | rnlane[:, None, :]
+    if pg.n_rows is not None:
+        x = x | _extract_aligned_words(pg.n_rows[r0], s, W)
+
+    lanes = (x | (x >> 1)) & jnp.uint32(0x55555555)
+
+    # mask lanes beyond the read's true length: word j covers bases
+    # [16j, 16j+16); keep the first clamp(len-16j, 0, 16) lanes (MSB-first)
+    wb = jnp.arange(W, dtype=jnp.int32) * 16     # (W,)
+    v = jnp.clip(lengths[:, None] - wb[None, :], 0, 16).astype(jnp.uint32)
+    lane_mask = jnp.where(
+        v == 0,
+        jnp.uint32(0),
+        (jnp.uint32(0x55555555) << (jnp.uint32(2) * (jnp.uint32(16) - v)))
+        & jnp.uint32(0xFFFFFFFF),
+    )  # (B, W)
+    lanes = lanes & lane_mask[:, None, :]
+
+    mm = jnp.sum(
+        jax.lax.population_count(lanes), axis=-1, dtype=jnp.int32
+    )
+    return jnp.where(valid, jnp.minimum(mm, MM_INVALID - 1), MM_INVALID).astype(
+        jnp.uint8
+    )

@@ -14,11 +14,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# 31 halvings always converge for n < 2^31 elements.
+# 31 halvings always converge for n < 2^31 elements (fallback bound).
 _MAX_BSEARCH_STEPS = 31
 
 
-def _lower_bound(key_hi, key_lo, lo0, hi0, q_hi, q_lo, strict: bool):
+def _lower_bound(key_hi, key_lo, lo0, hi0, q_hi, q_lo, strict: bool, steps: int):
     """First index i in [lo0, hi0] with key[i] > q (strict) or >= q.
 
     All args batched; fixed trip count so the loop is XLA-unrollable.
@@ -39,11 +39,11 @@ def _lower_bound(key_hi, key_lo, lo0, hi0, q_hi, q_lo, strict: bool):
         done = lo >= hi
         return jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi)
 
-    lo, hi = jax.lax.fori_loop(0, _MAX_BSEARCH_STEPS, body, (lo0, hi0))
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     return lo
 
 
-@partial(jax.jit, static_argnames=("lut_bases",))
+@partial(jax.jit, static_argnames=("lut_bases", "core_len", "max_steps"))
 def seed_range_lookup(
     key_hi: jax.Array,   # (n,) uint32 sorted keys (primary)
     key_lo: jax.Array,   # (n,) uint32 sorted keys (secondary)
@@ -53,16 +53,32 @@ def seed_range_lookup(
     q_lo_lo: jax.Array,  # query lower bound, lo word
     q_hi_hi: jax.Array,  # query upper bound, hi word
     q_hi_lo: jax.Array,  # query upper bound, lo word
+    core_len: int = 0,        # static: query prefix length (0 = unknown)
+    max_steps: int = _MAX_BSEARCH_STEPS,  # static: log2 bound on LUT bucket
 ):
-    """Return (start, end) index ranges: all i with qlow <= key[i] <= qhigh."""
+    """Return (start, end) index ranges: all i with qlow <= key[i] <= qhigh.
+
+    Fast path: when the query prefix is no longer than the LUT prefix
+    (core_len <= lut_bases), the range is EXACTLY a run of LUT buckets —
+    two LUT loads, no binary search at all.  Otherwise a fixed-trip
+    binary search confined to one bucket; `max_steps` should be
+    ceil(log2(max_bucket_size + 1)) + 1, computed host-side at index load.
+    """
     P = lut_bases
     shift = jnp.uint32(32 - 2 * P)
     pfx_lo = (q_lo_hi >> shift).astype(jnp.int32)
     pfx_hi = (q_hi_hi >> shift).astype(jnp.int32)
     lo0 = lut[pfx_lo]
     hi0 = lut[pfx_hi + 1]
-    start = _lower_bound(key_hi, key_lo, lo0, hi0, q_lo_hi, q_lo_lo, strict=False)
-    end = _lower_bound(key_hi, key_lo, lo0, hi0, q_hi_hi, q_hi_lo, strict=True)
+    if 0 < core_len <= P:
+        return lo0, hi0
+    steps = min(max_steps, _MAX_BSEARCH_STEPS)
+    start = _lower_bound(
+        key_hi, key_lo, lo0, hi0, q_lo_hi, q_lo_lo, strict=False, steps=steps
+    )
+    end = _lower_bound(
+        key_hi, key_lo, lo0, hi0, q_hi_hi, q_hi_lo, strict=True, steps=steps
+    )
     return start, end
 
 
@@ -77,14 +93,11 @@ def pack_read_kmers(codes: jax.Array, offsets, k: int):
     assert 1 <= k <= 32
     B = codes.shape[0]
     S = len(offsets)
-    offs = jnp.asarray(offsets, dtype=jnp.int32)  # (S,)
-    # (B, S, k) base codes
-    idx = offs[None, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    bases = jnp.take_along_axis(
-        codes[:, None, :].astype(jnp.int32),
-        jnp.broadcast_to(idx, (B, S, k)),
-        axis=2,
-    )
+    # (B, S, k) base codes via STATIC slices (offsets are compile-time
+    # constants) — per-element gathers are issue-rate poison on TPU
+    bases = jnp.stack(
+        [codes[:, o : o + k] for o in offsets], axis=1
+    ).astype(jnp.int32)
     has_n = jnp.any(bases >= 4, axis=2)
     b2 = jnp.where(bases >= 4, 0, bases).astype(jnp.uint32)
 
