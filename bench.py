@@ -34,9 +34,9 @@ def main() -> None:
     from biokanga_tpu.sim.simreads import random_genome, simulate_reads
 
     genome_len = 4_600_000
-    n_reads = 200_000
     read_len = 100
     batch = 8192
+    n_reads = 24 * batch  # divisible: one compiled shape, no ragged tail
 
     seqs = random_genome([("chr", genome_len)], seed=42)
     t0 = time.monotonic()
