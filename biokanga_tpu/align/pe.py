@@ -1,0 +1,202 @@
+"""Paired-end pairing + orphan rescue.
+
+Capability match for CAligner::ProcessPairedEnds (biokanga/Aligner.cpp:
+2876,3055) and CSfxArrayV3::AlignPairedRead orphan rescue
+(libbiokanga/SfxArrayV2.cpp:8247).  Defaults mirror the reference CLI:
+insert size 100..1000 (cDfltPairMinLen/cDfltPairMaxLen, Aligner.h:71-72),
+FR orientation unless pair_same_strand.
+
+Design: both mates run through the SE engine; pairing classification is a
+vectorised pass; orphan rescue re-extends the unanchored mate against the
+anchor's insert window using the SAME packed Hamming extension kernel
+(candidate loci = every offset in the window) — the windowed scan the
+reference does byte-wise, done as one batched device call.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.extend_packed import MM_INVALID, hamming_extend_packed, pack_reads
+from .pipeline import AlignEngine
+
+C_DFLT_PAIR_MIN_LEN = 100   # Aligner.h:71
+C_DFLT_PAIR_MAX_LEN = 1000  # Aligner.h:72
+
+
+@dataclass(frozen=True)
+class PEParams:
+    pair_min_len: int = C_DFLT_PAIR_MIN_LEN
+    pair_max_len: int = C_DFLT_PAIR_MAX_LEN
+    pair_same_strand: bool = False  # -E: accept mates on the same strand
+    rescue: bool = True
+
+
+def _insert_len(loc1, len1, rc1, loc2, len2):
+    """Observed insert = span from leftmost start to rightmost end."""
+    lo = np.minimum(loc1, loc2)
+    hi = np.maximum(loc1 + len1, loc2 + len2)
+    return hi - lo
+
+
+def classify_pairs(
+    res1: dict, res2: dict,
+    len1: np.ndarray, len2: np.ndarray,
+    entry_starts: np.ndarray,
+    pe: PEParams,
+):
+    """Vectorised pair classification over per-mate SE results.
+
+    Returns dict with:
+      proper   (N,) bool — both unique, orientation + insert accepted
+      orphan1  (N,) bool — mate1 unique anchor, mate2 unaccepted
+      orphan2  (N,) bool — mate2 unique anchor, mate1 unaccepted
+    """
+    u1, u2 = res1["unique"], res2["unique"]
+    loc1, loc2 = res1["locus"], res2["locus"]
+    rc1, rc2 = res1["is_rc"], res2["is_rc"]
+
+    ent1 = np.searchsorted(entry_starts, loc1, side="right") - 1
+    ent2 = np.searchsorted(entry_starts, loc2, side="right") - 1
+    same_chrom = ent1 == ent2
+
+    if pe.pair_same_strand:
+        orient_ok = rc1 == rc2
+    else:
+        # FR: mates on opposite strands, forward mate upstream
+        fwd_first = (~rc1) & rc2 & (loc1 <= loc2)
+        rev_first = rc1 & (~rc2) & (loc2 <= loc1)
+        orient_ok = fwd_first | rev_first
+
+    ins = _insert_len(loc1, len1, rc1, loc2, len2)
+    ins_ok = (ins >= pe.pair_min_len) & (ins <= pe.pair_max_len)
+
+    proper = u1 & u2 & same_chrom & orient_ok & ins_ok
+    orphan1 = u1 & (~u2)
+    orphan2 = u2 & (~u1)
+    return {
+        "proper": proper,
+        "orphan1": orphan1,
+        "orphan2": orphan2,
+        "insert": ins,
+    }
+
+
+class PEAligner:
+    """Runs both mates through an AlignEngine and pairs the results."""
+
+    def __init__(self, engine: AlignEngine, pe: PEParams | None = None):
+        self.engine = engine
+        self.pe = pe or PEParams()
+        self._rescue_jit = {}
+
+    def _rescue_fn(self, Wlen: int, L: int):
+        """Jitted windowed rescue: extend a mate against every locus in a
+        fixed-width window. Wlen = window width in loci."""
+        key = (Wlen, L)
+        if key in self._rescue_jit:
+            return self._rescue_jit[key]
+        didx = self.engine.didx
+        packed = didx.packed
+
+        def run(win_start, reads, lengths, max_tot_mm):
+            # candidates: every offset in [win_start, win_start + Wlen)
+            B = reads.shape[0]
+            loci = win_start[:, None] + jnp.arange(Wlen, dtype=jnp.int32)
+            valid = jnp.ones((B, Wlen), dtype=bool)
+            rcodes, rnlane = pack_reads(reads, lengths)
+            mm = hamming_extend_packed(
+                packed, didx.entry_starts, loci, valid, rcodes, rnlane, lengths
+            ).astype(jnp.int32)
+            best = jnp.min(mm, axis=1)
+            bi = jnp.argmin(mm, axis=1).astype(jnp.int32)
+            inst = jnp.sum(mm == best[:, None], axis=1, dtype=jnp.int32)
+            locus = win_start + bi
+            ok = (best <= max_tot_mm) & (inst == 1)
+            return {"ok": ok, "locus": locus, "mm": best}
+
+        fn = jax.jit(run)
+        self._rescue_jit[key] = fn
+        return fn
+
+    def rescue(self, anchor_loc, anchor_rc, anchor_len, mate_reads,
+               mate_lengths, mate_is_rc_of_input: bool):
+        """Rescue unanchored mates within the anchor's insert window.
+
+        The mate is searched on the strand opposite the anchor (FR), i.e.
+        we extend either the mate as given or its revcomp; the caller
+        passes the correctly-oriented sequence in mate_reads.
+        Window: if anchor is forward, mate must start within
+        [anchor, anchor + pair_max_len - mate_len]; if anchor is reverse,
+        within [anchor_end - pair_max_len, anchor_end - mate_len].
+        """
+        pe = self.pe
+        B, L = mate_reads.shape
+        Wlen = pe.pair_max_len - int(mate_lengths.min())
+        Wlen = max(8, Wlen)
+        fwd = ~anchor_rc
+        win_start = np.where(
+            fwd,
+            anchor_loc,
+            anchor_loc + anchor_len - pe.pair_max_len,
+        ).astype(np.int32)
+        ap = self.engine.params
+        if ap.max_subs_per100 == 0:
+            mtm = np.zeros(B, np.int32)
+        else:
+            mtm = np.clip(
+                np.floor(mate_lengths * ap.max_subs_per100 / 100.0 + 0.5),
+                1, 63,
+            ).astype(np.int32)
+        fn = self._rescue_fn(Wlen, L)
+        out = fn(
+            jnp.asarray(win_start), jnp.asarray(mate_reads),
+            jnp.asarray(mate_lengths), jnp.asarray(mtm),
+        )
+        return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+    def align_pairs(self, reads1, len1, reads2, len2):
+        """Full PE path. reads*: (N, L) int8. Returns a result dict with
+        per-pair fields; loci for rescued mates filled in."""
+        eng = self.engine
+        res1 = eng.align_with_rescue(reads1, len1)
+        res2 = eng.align_with_rescue(reads2, len2)
+        starts = np.asarray(jax.device_get(eng.didx.entry_starts))
+        cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
+
+        if self.pe.rescue:
+            from ..seq.encode import revcomp
+
+            for which, (anch, mate_reads, mate_len, mres) in {
+                1: (res1, reads2, len2, res2),
+                2: (res2, reads1, len1, res1),
+            }.items():
+                orph = cls[f"orphan{which}"]
+                rows = np.nonzero(orph)[0]
+                if len(rows) == 0:
+                    continue
+                a_loc = anch["locus"][rows]
+                a_rc = anch["is_rc"][rows]
+                a_len = (len1 if which == 1 else len2)[rows]
+                # FR: mate aligns on strand opposite the anchor; orient the
+                # mate sequence so a forward window scan matches it
+                m = mate_reads[rows].copy()
+                ml = mate_len[rows]
+                for i, r in enumerate(rows):
+                    if not a_rc[i]:
+                        # anchor forward => mate hits reverse strand: scan rc
+                        m[i, : ml[i]] = revcomp(mate_reads[r, : ml[i]])
+                out = self.rescue(a_loc, a_rc, a_len, m, ml, False)
+                ok = out["ok"]
+                # write back: rescued mate becomes an accepted hit
+                mres["unique"][rows[ok]] = True
+                mres["locus"][rows[ok]] = out["locus"][ok]
+                mres["is_rc"][rows[ok]] = ~a_rc[ok]
+                mres["best_mm"][rows[ok]] = out["mm"][ok]
+            # reclassify with rescued mates
+            cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
+
+        return {"res1": res1, "res2": res2, **cls}

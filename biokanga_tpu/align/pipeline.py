@@ -231,7 +231,7 @@ class AlignEngine:
                     cand_cap=None):
         """reads: (B, L) int8 host array. Returns host-side result dict."""
         out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap)
-        res = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         res["derived"] = dp
         return res
 
@@ -247,13 +247,13 @@ class AlignEngine:
             out, dp = self.launch(reads, lengths)
             if pending is not None:
                 p_out, p_dp = pending
-                res = {k: np.asarray(v) for k, v in jax.device_get(p_out).items()}
+                res = {k: np.array(v) for k, v in jax.device_get(p_out).items()}
                 res["derived"] = p_dp
                 yield res
             pending = (out, dp)
         if pending is not None:
             p_out, p_dp = pending
-            res = {k: np.asarray(v) for k, v in jax.device_get(p_out).items()}
+            res = {k: np.array(v) for k, v in jax.device_get(p_out).items()}
             res["derived"] = p_dp
             yield res
 

@@ -55,6 +55,89 @@ class SamRecord:
         return "\t".join(fields)
 
 
+def write_pe_sam(
+    out,
+    entry_names,
+    entry_starts,
+    names1, reads1, len1,
+    names2, reads2, len2,
+    pe_result,           # dict from PEAligner.align_pairs
+    write_header=True,
+    report_unmapped=True,
+):
+    """Write paired-end alignments with proper SAM flag/RNEXT/PNEXT/TLEN
+    semantics (role of WriteBAMReadHits' PE path, Aligner.cpp:5543)."""
+    close = False
+    if isinstance(out, str):
+        out = open(out, "w")
+        close = True
+    try:
+        starts = np.asarray(entry_starts)
+        if write_header:
+            out.write(sam_header(entry_names, np.diff(starts)))
+        res1, res2 = pe_result["res1"], pe_result["res2"]
+        proper = pe_result["proper"]
+        lines = []
+        N = len(names1)
+        for i in range(N):
+            for mate, (names, reads, lens, res, ores, olens) in enumerate(
+                (
+                    (names1, reads1, len1, res1, res2, len2),
+                    (names2, reads2, len2, res2, res1, len1),
+                )
+            ):
+                L = int(lens[i])
+                codes = reads[i, :L]
+                mapped = bool(res["unique"][i])
+                omapped = bool(ores["unique"][i])
+                flag = 0x1 | (0x40 if mate == 0 else 0x80)
+                if proper[i]:
+                    flag |= 0x2
+                if not mapped:
+                    flag |= 0x4
+                if not omapped:
+                    flag |= 0x8
+                if mapped and res["is_rc"][i]:
+                    flag |= 0x10
+                if omapped and ores["is_rc"][i]:
+                    flag |= 0x20
+                if mapped:
+                    ent = int(np.searchsorted(starts, res["locus"][i], "right")) - 1
+                    pos = int(res["locus"][i] - starts[ent]) + 1
+                    rname = entry_names[ent]
+                    rc = bool(res["is_rc"][i])
+                    seq = codes_to_ascii(revcomp(codes) if rc else codes).decode()
+                    if omapped:
+                        oent = int(np.searchsorted(starts, ores["locus"][i], "right")) - 1
+                        rnext = "=" if oent == ent else entry_names[oent]
+                        pnext = int(ores["locus"][i] - starts[oent]) + 1
+                        if proper[i]:
+                            tl = int(pe_result["insert"][i])
+                            tlen = tl if res["locus"][i] <= ores["locus"][i] else -tl
+                        else:
+                            tlen = 0
+                    else:
+                        rnext, pnext, tlen = "=", pos, 0
+                    rec = SamRecord(
+                        qname=names[i], flag=flag, rname=rname, pos=pos,
+                        mapq=60, cigar=f"{L}M", rnext=rnext, pnext=pnext,
+                        tlen=tlen, seq=seq, qual="*",
+                        tags=(f"NM:i:{int(res['best_mm'][i])}",),
+                    )
+                elif report_unmapped:
+                    rec = SamRecord(
+                        qname=names[i], flag=flag, rname="*", pos=0, mapq=0,
+                        cigar="*", seq=codes_to_ascii(codes).decode(), qual="*",
+                    )
+                else:
+                    continue
+                lines.append(rec.line())
+        out.write("\n".join(lines) + ("\n" if lines else ""))
+    finally:
+        if close:
+            out.close()
+
+
 def write_alignments_sam(
     out,  # file-like (text) or path
     entry_names,

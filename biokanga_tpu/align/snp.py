@@ -1,0 +1,263 @@
+"""SNP calling from accepted alignments.
+
+Capability match for CAligner::ProcessSNPs/OutputSNPs
+(biokanga/Aligner.cpp:7609,6803): per-locus pileup -> binomial p-value
+against a LOCAL background substitution rate -> Benjamini-Hochberg FDR ->
+CSV (reference column layout, Aligner.cpp:7648) and VCF output.
+
+Reference numeric behavior reproduced:
+- MinSNPreads default 5 (Aligner.h:50), NonRefPcnt default 25%
+- local background window 51 bp (cSNPBkgndRateWindow, Aligner.h:27),
+  locus' own counts excluded (Aligner.cpp:6985-6994)
+- rate floors: GlobalSeqErrRate = max(0.01, TotMM/(1+TotM+TotMM))
+  (cMinSeqErrRate Aligner.h:54, Aligner.cpp:6881); local rate floored by
+  global; loci with local rate > 0.20 skipped (cMaxBkgdNoiseThres)
+- PValue = 1 - BinomialCDF(TotBases, NumNonRefBases, LocalSeqErrRate)
+  (Aligner.cpp:7093)
+- BH step-down: sorted ascending, accept while P < rank/N * QValue
+  (Aligner.cpp:7120-7126), QValue default 0.05
+
+TPU design: the pileup is a dense scatter-add over (genome_len, 4) count
+planes — one `.at[].add()` per batch of accepted reads — then the
+window/statistics pass is vectorised numpy on host (the candidate set
+after coverage filtering is tiny).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import binom as _binom
+
+C_SNP_BKGND_RATE_WINDOW = 51   # Aligner.h:27
+C_MAX_BKGD_NOISE_THRES = 0.20  # Aligner.h:51
+C_MIN_SEQ_ERR_RATE = 0.01      # Aligner.h:54
+
+
+@dataclass(frozen=True)
+class SNPParams:
+    min_snp_reads: int = 5       # -p MinSNPreads (Aligner.h:50)
+    snp_nonref_pcnt: float = 0.25  # -1 snpnonrefpcnt/100 (default 25)
+    qvalue: float = 0.05         # -P qvalue
+
+
+@jax.jit
+def pileup_batch(counts, match, mismatch, genome, loci, seqs, lengths, accept):
+    """Accumulate one batch of accepted alignments into pileup planes.
+
+    counts: (n, 4) int32; match/mismatch: (n,) int32; genome: (n,) int8.
+    loci: (B,) int32 alignment starts; seqs: (B, L) int8 ALIGNED-strand
+    codes (i.e. revcomp already applied for '-' hits); accept: (B,) bool.
+    """
+    n = genome.shape[0]
+    B, L = seqs.shape
+    pos = loci[:, None] + jnp.arange(L, dtype=jnp.int32)  # (B, L)
+    live = (
+        accept[:, None]
+        & (jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None])
+        & (seqs < 4)
+        & (pos >= 0)
+        & (pos < n)
+    )
+    posc = jnp.clip(pos, 0, n - 1)
+    base = jnp.clip(seqs, 0, 3).astype(jnp.int32)
+    ones = live.astype(jnp.int32)
+    counts = counts.at[posc.ravel(), base.ravel()].add(ones.ravel())
+    ref = genome[posc]
+    is_mm = (base != ref) & live
+    match = match.at[posc.ravel()].add((live & ~is_mm).ravel().astype(jnp.int32))
+    mismatch = mismatch.at[posc.ravel()].add(is_mm.ravel().astype(jnp.int32))
+    return counts, match, mismatch
+
+
+class PileupAccumulator:
+    """Streams accepted alignment batches into device pileup planes."""
+
+    def __init__(self, didx):
+        self.didx = didx
+        n = didx.total_len
+        self.counts = jnp.zeros((n, 4), dtype=jnp.int32)
+        self.match = jnp.zeros(n, dtype=jnp.int32)
+        self.mismatch = jnp.zeros(n, dtype=jnp.int32)
+
+    def add_batch(self, loci, aligned_seqs, lengths, accept):
+        self.counts, self.match, self.mismatch = pileup_batch(
+            self.counts, self.match, self.mismatch, self.didx.genome,
+            jnp.asarray(loci), jnp.asarray(aligned_seqs),
+            jnp.asarray(lengths), jnp.asarray(accept),
+        )
+
+    def add_alignments(self, reads, lengths, result):
+        """Convenience: feed an AlignEngine result dict (SE)."""
+        from ..seq.encode import revcomp
+
+        acc = result["unique"]
+        seqs = reads.copy()
+        for i in np.nonzero(result["is_rc"] & acc)[0]:
+            L = int(lengths[i])
+            seqs[i, :L] = revcomp(reads[i, :L])
+        self.add_batch(result["locus"], seqs, lengths, acc)
+
+    def finalize(self):
+        return (
+            np.asarray(self.counts),
+            np.asarray(self.match),
+            np.asarray(self.mismatch),
+        )
+
+
+@dataclass
+class SNPCall:
+    chrom: str
+    loci: int              # 0-based within chrom
+    ref_base: int
+    tot_bases: int
+    nonref: int
+    base_cnts: np.ndarray  # (4,)
+    pvalue: float
+    bkgnd_rate: float
+    win_bases: int
+    win_mm: int
+    rank: int = 0
+
+
+def call_snps(
+    counts: np.ndarray, match: np.ndarray, mismatch: np.ndarray,
+    genome_codes: np.ndarray, entry_names, entry_starts,
+    params: SNPParams | None = None,
+) -> list[SNPCall]:
+    p = params or SNPParams()
+    n = len(genome_codes)
+    tot = counts.sum(axis=1)
+    ref = np.clip(genome_codes, 0, 3).astype(np.int64)
+    refcnt = counts[np.arange(n), ref]
+    nonref = tot - refcnt
+
+    calls: list[SNPCall] = []
+    flank = C_SNP_BKGND_RATE_WINDOW // 2
+    starts = np.asarray(entry_starts)
+    for ei, name in enumerate(entry_names):
+        a, b = int(starts[ei]), int(starts[ei + 1])
+        ctot = tot[a:b]
+        cnon = nonref[a:b]
+        cmatch = match[a:b]
+        cmm = mismatch[a:b]
+        tot_m = int(cmatch.sum())
+        tot_mm = int(cmm.sum())
+        global_rate = max(C_MIN_SEQ_ERR_RATE, tot_mm / (1 + tot_m + tot_mm))
+
+        cand = np.nonzero(
+            (ctot >= p.min_snp_reads)
+            & (cnon >= 1)
+            & (cnon / np.maximum(ctot, 1) >= p.snp_nonref_pcnt)
+            & (genome_codes[a:b] < 4)
+        )[0]
+        if len(cand) == 0:
+            continue
+        # local window sums (excluding the locus' own contribution)
+        cs_m = np.concatenate([[0], np.cumsum(cmatch, dtype=np.int64)])
+        cs_mm = np.concatenate([[0], np.cumsum(cmm, dtype=np.int64)])
+        L_ = len(ctot)
+        lo = np.maximum(cand - flank, 0)
+        hi = np.minimum(cand + flank + 1, L_)
+        win_m = cs_m[hi] - cs_m[lo]
+        win_mm = cs_mm[hi] - cs_mm[lo]
+        loc_tmm = np.maximum(win_mm - cnon[cand], 0)
+        loc_tm = np.maximum(win_m - (ctot[cand] - cnon[cand]), 0)
+        denom = loc_tmm + loc_tm
+        local_rate = np.where(
+            denom == 0, global_rate,
+            np.maximum(loc_tmm / np.maximum(denom, 1), global_rate),
+        )
+        ok = local_rate <= C_MAX_BKGD_NOISE_THRES
+        cand, local_rate = cand[ok], local_rate[ok]
+        loc_tmm, loc_tm = loc_tmm[ok], loc_tm[ok]
+        if len(cand) == 0:
+            continue
+        pv = 1.0 - _binom.cdf(cnon[cand], ctot[cand], local_rate)
+        for j, c in enumerate(cand):
+            calls.append(
+                SNPCall(
+                    chrom=name, loci=int(c), ref_base=int(ref[a + c]),
+                    tot_bases=int(ctot[c]), nonref=int(cnon[c]),
+                    base_cnts=counts[a + c].copy(),
+                    pvalue=float(pv[j]), bkgnd_rate=float(local_rate[j]),
+                    win_bases=int(loc_tm[j] + loc_tmm[j]),
+                    win_mm=int(loc_tmm[j]),
+                )
+            )
+
+    # Benjamini-Hochberg step-down exactly as the reference
+    # (Aligner.cpp:7118-7126): ascending P, accept while P < rank/N * Q
+    calls.sort(key=lambda c: c.pvalue)
+    N = len(calls)
+    accepted = []
+    for i, c in enumerate(calls):
+        if c.pvalue >= ((i + 1) / N) * p.qvalue:
+            break
+        c.rank = i + 1
+        accepted.append(c)
+    accepted.sort(key=lambda c: (c.chrom, c.loci))
+    return accepted
+
+
+_B2A = "ACGTN"
+
+
+def write_snps_csv(path_or_file, calls, species="TargSpecies"):
+    """Reference CSV column layout (Aligner.cpp:7648)."""
+    close = False
+    f = path_or_file
+    if isinstance(f, str):
+        f = open(f, "w")
+        close = True
+    try:
+        f.write(
+            '"SNP_ID","ElType","Species","Chrom","StartLoci","EndLoci","Len",'
+            '"Strand","Rank","PValue","Bases","Mismatches","RefBase",'
+            '"MMBaseA","MMBaseC","MMBaseG","MMBaseT","MMBaseN",'
+            '"BackgroundSubRate","TotWinBases","TotWinMismatches","MarkerID",'
+            '"NumPolymorphicSites"\n'
+        )
+        for i, c in enumerate(calls, 1):
+            mm = [int(c.base_cnts[b]) if b != c.ref_base else 0 for b in range(4)]
+            f.write(
+                f'{i},"SNP","{species}","{c.chrom}",{c.loci},{c.loci},1,'
+                f'"+",{c.rank},{c.pvalue:.6g},{c.tot_bases},{c.nonref},'
+                f'"{_B2A[c.ref_base]}",{mm[0]},{mm[1]},{mm[2]},{mm[3]},0,'
+                f"{c.bkgnd_rate:.6g},{c.win_bases},{c.win_mm},0,0\n"
+            )
+    finally:
+        if close:
+            f.close()
+
+
+def write_snps_vcf(path_or_file, calls, entry_names, entry_lengths):
+    close = False
+    f = path_or_file
+    if isinstance(f, str):
+        f = open(f, "w")
+        close = True
+    try:
+        f.write("##fileformat=VCFv4.2\n")
+        for nm, ln in zip(entry_names, entry_lengths):
+            f.write(f"##contig=<ID={nm},length={int(ln)}>\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i, c in enumerate(calls, 1):
+            alts = [
+                (int(c.base_cnts[b]), b)
+                for b in range(4)
+                if b != c.ref_base and c.base_cnts[b] > 0
+            ]
+            alts.sort(reverse=True)
+            alt = ",".join(_B2A[b] for _, b in alts) or "."
+            qual = min(999, int(-10 * np.log10(max(c.pvalue, 1e-100))))
+            f.write(
+                f"{c.chrom}\t{c.loci + 1}\t.\t{_B2A[c.ref_base]}\t{alt}\t"
+                f"{qual}\tPASS\tDP={c.tot_bases};NR={c.nonref}\n"
+            )
+    finally:
+        if close:
+            f.close()
