@@ -258,10 +258,207 @@ def cmd_simreads(argv: list[str]) -> int:
     return 0
 
 
+# ------------------------------------------------------------ tools -------
+
+def cmd_fasta2nxx(argv):
+    """`biokanga fasta2nxx` parity (biokanga/FastaNxx.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu fasta2nxx")
+    p.add_argument("-i", "--infasta", action="append", required=True)
+    p.add_argument("-o", "--out", default=None, help="stats CSV (default stdout)")
+    args = p.parse_args(argv)
+    from .tools.fasta_tools import fasta_nxx
+
+    st = fasta_nxx(args.infasta)
+    rows = [
+        ("NumSeqs", st.num_seqs), ("TotalBp", st.total_bp),
+        ("MinLen", st.min_len), ("MaxLen", st.max_len),
+        ("MeanLen", round(st.mean_len, 1)), ("GCPcnt", round(st.gc_pcnt, 2)),
+    ] + [(f"N{p_}", v) for p_, v in st.nxx.items()]
+    text = "\n".join(f"{k},{v}" for k, v in rows) + "\n"
+    if args.out:
+        open(args.out, "w").write(text)
+    else:
+        print(text, end="")
+    return 0
+
+
+def cmd_xfasta(argv):
+    """`biokanga xfasta` parity (biokanga/fastaextract.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu xfasta")
+    p.add_argument("-i", "--infasta", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-r", "--regex", default=None, help="name filter regex")
+    p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--max-len", type=int, default=None)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    args = p.parse_args(argv)
+    from .tools.fasta_tools import xfasta_extract
+
+    n = xfasta_extract(args.infasta, args.out, args.regex, args.min_len,
+                       args.max_len, args.start, args.end)
+    print(f"extracted {n} sequences")
+    return 0
+
+
+def cmd_pseudogenome(argv):
+    """`biokanga pseudogenome` parity (biokanga/genpseudogenome.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu pseudogenome")
+    p.add_argument("-i", "--infasta", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-O", "--outbed", default=None)
+    p.add_argument("-n", "--name", default="PseudoG")
+    p.add_argument("--sep-ns", type=int, default=100)
+    args = p.parse_args(argv)
+    from .tools.fasta_tools import gen_pseudogenome
+
+    n, total = gen_pseudogenome(args.infasta, args.out, args.outbed,
+                                args.name, args.sep_ns)
+    print(f"concatenated {n} sequences, {total} bp")
+    return 0
+
+
+def cmd_filter(argv):
+    """`biokanga filter` parity (CArtefactReduce, biokanga/ArtefactReduce.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu filter")
+    p.add_argument("-i", "--inreads", required=True)
+    p.add_argument("-u", "--pair", default=None)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-U", "--outpair", default=None)
+    p.add_argument("--trim5", type=int, default=0)
+    p.add_argument("--trim3", type=int, default=0)
+    p.add_argument("-n", "--maxns", type=int, default=1)
+    p.add_argument("--min-phred", type=int, default=0)
+    p.add_argument("--min-len", type=int, default=50)
+    p.add_argument("--no-dedupe", action="store_true")
+    p.add_argument("-c", "--contaminants", default=None,
+                   help="adaptor/contaminant FASTA")
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs
+    from .tools.filter_reads import FilterParams, filter_reads
+
+    adapters = []
+    if args.contaminants:
+        adapters = [r.codes for r in read_seqs(args.contaminants)]
+    st = filter_reads(
+        args.inreads, args.out,
+        FilterParams(
+            trim5=args.trim5, trim3=args.trim3, max_ns=args.maxns,
+            min_phred=args.min_phred, min_len=args.min_len,
+            dedupe=not args.no_dedupe, adapters=adapters,
+        ),
+        pair_inpath=args.pair, pair_outpath=args.outpair,
+    )
+    print(
+        f"filter: {st.accepted}/{st.total} accepted "
+        f"(dups {st.rej_dup}, Ns {st.rej_ns}, phred {st.rej_phred}, "
+        f"len {st.rej_len}, adapter-trimmed {st.trimmed_adapter})"
+    )
+    return 0
+
+
+def cmd_ngsqc(argv):
+    """`biokanga ngsqc` parity (CReadStats, biokanga/ReadStats.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu ngsqc")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True, help="HTML report path")
+    p.add_argument("-k", "--kmer", type=int, default=5)
+    p.add_argument("--max-reads", type=int, default=None)
+    args = p.parse_args(argv)
+    from .tools.ngsqc import collect_qc, write_html_report
+
+    st = collect_qc(args.inreads, kmer_k=args.kmer, max_reads=args.max_reads)
+    write_html_report(st, args.out)
+    print(f"ngsqc: {st.n_reads} reads, {st.n_bases} bases -> {args.out}")
+    return 0
+
+
+def cmd_mergeoverlaps(argv):
+    """`biokanga mergeoverlaps` parity (CMergeReadPairs)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu mergeoverlaps")
+    p.add_argument("-i", "--in1", required=True)
+    p.add_argument("-u", "--in2", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--unmerged1", default=None)
+    p.add_argument("--unmerged2", default=None)
+    p.add_argument("-l", "--min-overlap", type=int, default=16)
+    p.add_argument("-s", "--max-subs-pcnt", type=float, default=5.0)
+    args = p.parse_args(argv)
+    from .tools.mergeoverlaps import MergeParams, merge_overlaps
+
+    n, m = merge_overlaps(
+        args.in1, args.in2, args.out,
+        MergeParams(args.min_overlap, args.max_subs_pcnt),
+        args.unmerged1, args.unmerged2,
+    )
+    print(f"merged {m}/{n} pairs")
+    return 0
+
+
+def cmd_ssr(argv):
+    """`biokanga ssr` parity (CSSRDiscovery, biokanga/SSRdiscovery.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu ssr")
+    p.add_argument("-i", "--infasta", action="append", required=True)
+    p.add_argument("-o", "--out", required=True, help="CSV output")
+    p.add_argument("-O", "--outbed", default=None)
+    p.add_argument("--min-unit", type=int, default=1)
+    p.add_argument("--max-unit", type=int, default=6)
+    p.add_argument("-r", "--min-repeats", type=int, default=5)
+    args = p.parse_args(argv)
+    from .tools.ssr import discover_ssrs, write_ssrs_bed, write_ssrs_csv
+
+    hits = discover_ssrs(args.infasta, args.min_unit, args.max_unit,
+                         args.min_repeats)
+    write_ssrs_csv(args.out, hits)
+    if args.outbed:
+        write_ssrs_bed(args.outbed, hits)
+    print(f"found {len(hits)} SSRs")
+    return 0
+
+
+def cmd_filtchrom(argv):
+    """`biokanga filtchrom` parity (CFilterSAMAlignments)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu filtchrom")
+    p.add_argument("-i", "--insam", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-z", "--chrom", required=True, help="chrom regex")
+    p.add_argument("-Z", "--exclude", action="store_true")
+    args = p.parse_args(argv)
+    from .tools.sam_tools import filter_sam_by_chrom
+
+    total, kept = filter_sam_by_chrom(args.insam, args.out, args.chrom,
+                                      args.exclude)
+    print(f"kept {kept}/{total} records")
+    return 0
+
+
+def cmd_remaploci(argv):
+    """`biokanga remaploci` parity (CRemapLoci)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu remaploci")
+    p.add_argument("-i", "--insam", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-b", "--bed", required=True, help="parts BED")
+    args = p.parse_args(argv)
+    from .tools.sam_tools import remap_sam
+
+    remapped, dropped = remap_sam(args.insam, args.out, args.bed)
+    print(f"remapped {remapped}, dropped {dropped}")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "align": cmd_align,
     "simreads": cmd_simreads,
+    "fasta2nxx": cmd_fasta2nxx,
+    "xfasta": cmd_xfasta,
+    "pseudogenome": cmd_pseudogenome,
+    "filter": cmd_filter,
+    "ngsqc": cmd_ngsqc,
+    "mergeoverlaps": cmd_mergeoverlaps,
+    "ssr": cmd_ssr,
+    "filtchrom": cmd_filtchrom,
+    "remaploci": cmd_remaploci,
 }
 
 

@@ -1,0 +1,138 @@
+"""Read filtering — capability match for `biokanga filter`
+(CArtefactReduce, biokanga/ArtefactReduce.cpp): end trims, max-N and
+min-Phred acceptance, exact-duplicate removal (PE-aware), and 3' adaptor
+(contaminant) trimming.
+
+Host-side vectorised numpy over read blocks (this stage is IO-bound);
+duplicate detection hashes 2-bit-packed sequences.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..seq.encode import revcomp
+from ..seq.fasta import ReadBlock, read_blocks, write_fastq
+
+
+@dataclass
+class FilterParams:
+    trim5: int = 0
+    trim3: int = 0
+    max_ns: int = 1              # reference -n MaxNs default 1 per 100bp
+    min_phred: int = 0           # minimum mean Phred to accept
+    min_len: int = 50            # reference MinAcceptReadLen-ish
+    dedupe: bool = True
+    adapters: list = field(default_factory=list)  # int8 code arrays
+    adapter_min_overlap: int = 5
+    adapter_max_subs: int = 1
+
+
+@dataclass
+class FilterStats:
+    total: int = 0
+    accepted: int = 0
+    trimmed_adapter: int = 0
+    rej_ns: int = 0
+    rej_phred: int = 0
+    rej_len: int = 0
+    rej_dup: int = 0
+
+
+def _pack_for_hash(codes: np.ndarray, length: int) -> bytes:
+    return codes[:length].tobytes()
+
+
+def _trim_adapter_3p(seq: np.ndarray, adapter: np.ndarray,
+                     min_ov: int, max_subs: int) -> int:
+    """Return new length after trimming a 3' adapter overlap (or len(seq)).
+    Checks every overlap where the adapter prefix overhangs the read 3' end,
+    longest first (reference flank-overlay semantics, Contaminants.h:31)."""
+    L = len(seq)
+    amax = min(len(adapter), L)
+    for ov in range(amax, min_ov - 1, -1):
+        mm = int(np.sum(seq[L - ov :] != adapter[:ov]))
+        if mm <= max_subs:
+            return L - ov
+    return L
+
+
+def filter_reads(
+    inpath: str,
+    outpath: str,
+    params: FilterParams | None = None,
+    pair_inpath: str | None = None,
+    pair_outpath: str | None = None,
+) -> FilterStats:
+    p = params or FilterParams()
+    st = FilterStats()
+    seen: set[bytes] = set()
+
+    out1 = []
+    out2 = []
+    pe = pair_inpath is not None
+    blocks1 = read_blocks(inpath, block_size=8192)
+    blocks2 = read_blocks(pair_inpath, block_size=8192) if pe else None
+
+    while True:
+        try:
+            blk1 = next(blocks1)
+        except StopIteration:
+            break
+        blk2 = next(blocks2) if pe else None
+        B = len(blk1.names)
+        for i in range(B):
+            st.total += 1
+            recs = []
+            ok = True
+            for blk in ((blk1, blk2) if pe else (blk1,)):
+                L = int(blk.lengths[i])
+                seq = blk.codes[i, :L].copy()
+                qual = blk.quals[i, :L].copy() if blk.quals is not None else None
+                # end trims
+                s5, s3 = p.trim5, L - p.trim3
+                seq = seq[s5:s3]
+                qual = qual[s5:s3] if qual is not None else None
+                # adaptor trim
+                for ad in p.adapters:
+                    nl = _trim_adapter_3p(seq, ad, p.adapter_min_overlap,
+                                          p.adapter_max_subs)
+                    if nl < len(seq):
+                        st.trimmed_adapter += 1
+                        seq = seq[:nl]
+                        qual = qual[:nl] if qual is not None else None
+                # acceptance
+                n_ns = int(np.sum(seq >= 4))
+                max_ns = max(1, (len(seq) * p.max_ns) // 100) if p.max_ns else 0
+                if p.max_ns and n_ns > max_ns:
+                    st.rej_ns += 1
+                    ok = False
+                    break
+                if p.min_phred and qual is not None and len(qual):
+                    if (qual.astype(np.int32) - 33).mean() < p.min_phred:
+                        st.rej_phred += 1
+                        ok = False
+                        break
+                if len(seq) < p.min_len:
+                    st.rej_len += 1
+                    ok = False
+                    break
+                recs.append((blk.names[i], seq, qual))
+            if not ok:
+                continue
+            if p.dedupe:
+                key = b"|".join(r[1].tobytes() for r in recs)
+                if key in seen:
+                    st.rej_dup += 1
+                    continue
+                seen.add(key)
+            st.accepted += 1
+            out1.append(recs[0])
+            if pe:
+                out2.append(recs[1])
+
+    write_fastq(outpath, out1)
+    if pe and pair_outpath:
+        write_fastq(pair_outpath, out2)
+    return st
