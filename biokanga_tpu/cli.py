@@ -446,10 +446,64 @@ def cmd_remaploci(argv):
     return 0
 
 
+def cmd_blitz(argv):
+    """`biokanga blitz` parity (CBlitz, biokanga/Blitz.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu blitz")
+    p.add_argument("-i", "--inquery", required=True, help="query FASTA")
+    p.add_argument("-I", "--sfx", required=True, help="index file")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-M", "--format", default="psl",
+                   choices=("psl", "pslx", "bed", "maf"))
+    p.add_argument("-C", "--corelen", type=int, default=20)
+    p.add_argument("-c", "--coredelta", type=int, default=0)
+    p.add_argument("-m", "--sensitivity", default="default",
+                   choices=("default", "more", "ultra", "less"))
+    p.add_argument("-s", "--minpathscore", type=int, default=75)
+    p.add_argument("-a", "--minalignedpct", type=int, default=25)
+    p.add_argument("-R", "--maxpaths", type=int, default=10)
+    p.add_argument("-F", "--log", default=None)
+    args = p.parse_args(argv)
+    log = open_diagnostics(args.log)
+    sw = StopWatch()
+    from .index.build import load_index
+    from .index.device import to_device
+    from .seq.fasta import read_seqs
+    from .tools.blitz import (
+        PSL_HEADER, BlitzParams, bed_row, blitz_query, maf_block, psl_row,
+    )
+
+    idx = load_index(args.sfx)
+    didx = to_device(idx)
+    bp = BlitzParams(
+        core_len=args.corelen, core_delta=args.coredelta,
+        sensitivity=args.sensitivity, min_path_score=args.minpathscore,
+        min_aligned_pct=args.minalignedpct, max_paths=args.maxpaths,
+    )
+    n_q = n_paths = 0
+    with open(args.out, "w") as f:
+        if args.format in ("psl", "pslx"):
+            f.write(PSL_HEADER)
+        for rec in read_seqs(args.inquery):
+            paths = blitz_query(didx, rec.name, rec.codes, bp)
+            n_q += 1
+            n_paths += len(paths)
+            for path in paths:
+                if args.format in ("psl", "pslx"):
+                    f.write(psl_row(path) + "\n")
+                elif args.format == "bed":
+                    f.write(bed_row(path) + "\n")
+                else:
+                    f.write(maf_block(path, didx, rec.codes))
+    log.info("blitz: %d queries -> %d paths in %.1fs", n_q, n_paths,
+             sw.elapsed())
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "align": cmd_align,
     "simreads": cmd_simreads,
+    "blitz": cmd_blitz,
     "fasta2nxx": cmd_fasta2nxx,
     "xfasta": cmd_xfasta,
     "pseudogenome": cmd_pseudogenome,
