@@ -275,6 +275,144 @@ class AlignEngine:
         return res
 
 
+class ExtendedAligner:
+    """Adds micro-indel and splice-junction fall-through passes to an
+    AlignEngine (the -a/-A aligner modes; CSfxArrayV3::AlignReads
+    progressive fall-through, SfxArrayV2.cpp:7663-7760).
+
+    Reads unaccepted by the Hamming pass are re-seeded; their candidate
+    diagonals feed the device indel/splice scans (align/splice_indel.py).
+    """
+
+    def __init__(self, engine: AlignEngine, micro_indel_len: int = 0,
+                 splice_junct_len: int = 0, splice_cand_cap: int = 24):
+        self.engine = engine
+        self.micro_indel_len = min(micro_indel_len, 20)
+        self.splice_junct_len = min(splice_junct_len, 100_000)
+        self.splice_cand_cap = splice_cand_cap
+        self._cand_jit = {}
+
+    def _candidates(self, reads_d, lengths_d, dp, H, cand_cap, strand_rc,
+                    uniform):
+        key = (dp, H, cand_cap, strand_rc, uniform)
+        fn = self._cand_jit.get(key)
+        if fn is None:
+            didx = self.engine.didx
+            arrays = (didx.key_hi, didx.key_lo, didx.lut, didx.pos_sorted,
+                      didx.lut_bases, didx.max_bsearch_steps)
+
+            def run(reads, lengths):
+                seq = _rc_reads(reads, lengths, uniform) if strand_rc else reads
+                loci, vmask, _ = _strand_candidates(arrays, seq, dp, H,
+                                                    cand_cap)
+                rcodes, rnlane = pack_reads(seq, lengths)
+                return loci, vmask, rcodes, rnlane
+
+            fn = jax.jit(run)
+            self._cand_jit[key] = fn
+        return fn(reads_d, lengths_d)
+
+    def align(self, reads: np.ndarray, lengths: np.ndarray):
+        from .splice_indel import indel_scan, splice_scan
+
+        eng = self.engine
+        res = eng.align_with_rescue(reads, lengths)
+        res["cigar_op"] = np.zeros(len(reads), dtype=np.int32)  # 0 = pure M
+        res["op_len"] = np.zeros(len(reads), dtype=np.int32)
+        res["split"] = np.zeros(len(reads), dtype=np.int32)
+        if not (self.micro_indel_len or self.splice_junct_len):
+            return res
+
+        left = np.nonzero(~res["unique"] & ~res["any_hit"])[0]
+        if len(left) == 0:
+            return res
+        sub_r, sub_l = pad_rows(reads[left], lengths[left])
+        B, L = sub_r.shape
+        dp = eng.params.derive(int(L), eng.didx.total_len)
+        didx = eng.didx
+        pg = didx.packed
+        uniform = bool(np.all(sub_l == L))
+
+        # normalized candidate-result schema:
+        #   ok, score, mm, split, locus, is_rc, op (signed indel or 1<<30
+        #   splice marker), gaplen (splice N length)
+        best = None
+        for is_rc in (False, True):
+            loci, vmask, rcodes, rnlane = self._candidates(
+                jnp.asarray(sub_r), jnp.asarray(sub_l), dp,
+                eng.params.cand_per_core, self.splice_cand_cap, is_rc,
+                uniform,
+            )
+            outs = []
+            if self.micro_indel_len:
+                o = indel_scan(
+                    pg.rows, pg.n_rows if pg.has_n else pg.rows, pg.has_n,
+                    pg.length, didx.entry_starts, loci, vmask, rcodes,
+                    rnlane, jnp.asarray(sub_l), L, self.micro_indel_len,
+                )
+                o = {k: np.asarray(v) for k, v in jax.device_get(o).items()}
+                locus = np.take_along_axis(
+                    np.asarray(loci), o["cand"][:, None], 1
+                )[:, 0]
+                outs.append({
+                    "ok": o["ok"], "score": o["score"], "mm": o["mm"],
+                    "split": o["split"], "locus": locus,
+                    "op": o["indel"].astype(np.int64),
+                    "gaplen": np.zeros(B, np.int64),
+                })
+            if self.splice_junct_len:
+                o = splice_scan(
+                    pg.rows, pg.n_rows if pg.has_n else pg.rows, pg.has_n,
+                    pg.length, didx.entry_starts, loci, vmask, rcodes,
+                    rnlane, jnp.asarray(sub_l), L, self.splice_junct_len,
+                )
+                o = {k: np.asarray(v) for k, v in jax.device_get(o).items()}
+                outs.append({
+                    "ok": o["ok"], "score": o["score"], "mm": o["mm"],
+                    "split": o["split"], "locus": o["locus5"],
+                    "op": np.full(B, 1 << 30, np.int64),
+                    "gaplen": (o["locus3"] - o["locus5"]).astype(np.int64),
+                })
+            for o in outs:
+                o["is_rc"] = np.full(B, is_rc)
+                o["score"] = np.where(o["ok"], o["score"], -(1 << 20))
+                if best is None:
+                    best = o
+                else:
+                    better = o["score"] > best["score"]
+                    best = {
+                        k: np.where(better, o[k], best[k]) for k in best
+                    }
+
+        if best is None:
+            return res
+        acc = np.nonzero(best["ok"] & (best["score"] > -(1 << 20)))[0]
+        acc = acc[acc < len(left)]  # drop pad rows
+        gi = left[acc]
+        res["unique"][gi] = True
+        res["any_hit"][gi] = True
+        res["locus"][gi] = best["locus"][acc]
+        res["is_rc"][gi] = best["is_rc"][acc]
+        res["best_mm"][gi] = np.minimum(best["mm"][acc], 255).astype(np.uint8)
+        res["split"][gi] = best["split"][acc]
+        res["cigar_op"][gi] = best["op"][acc]
+        res["op_len"][gi] = best["gaplen"][acc]
+        return res
+
+
+def cigar_for(length: int, cigar_op: int, op_len: int, split: int) -> str:
+    """CIGAR string from the extended-aligner encodings."""
+    if cigar_op == 0:
+        return f"{length}M"
+    if cigar_op == 1 << 30:  # splice: N gap of op_len at split
+        return f"{split}M{op_len}N{length - split}M"
+    g = int(cigar_op)
+    if g > 0:  # genome deletion
+        return f"{split}M{g}D{length - split}M"
+    j = -g     # read insertion
+    return f"{split}M{j}I{length - split - j}M"
+
+
 def pad_rows(reads: np.ndarray, lengths: np.ndarray, target: int | None = None):
     """Pad a read block to a power-of-two row count (min 64) with N-filled
     rows of length 0, so jit shapes come from a small bucket set."""

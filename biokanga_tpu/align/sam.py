@@ -170,6 +170,9 @@ def write_alignments_sam(
         locus = result["locus"]
         is_rc = result["is_rc"]
         best_mm = result["best_mm"]
+        cigar_op = result.get("cigar_op")
+        op_len = result.get("op_len")
+        split = result.get("split")
         ent = np.searchsorted(starts, locus, side="right") - 1
         pos_in_entry = locus - starts[np.clip(ent, 0, len(entry_names) - 1)]
         B = len(names)
@@ -180,13 +183,20 @@ def write_alignments_sam(
             if unique[i]:
                 rc = bool(is_rc[i])
                 seq = codes_to_ascii(revcomp(codes) if rc else codes).decode()
+                if cigar_op is not None and cigar_op[i] != 0:
+                    from .pipeline import cigar_for
+
+                    cig = cigar_for(L, int(cigar_op[i]), int(op_len[i]),
+                                    int(split[i]))
+                else:
+                    cig = f"{L}M"
                 rec = SamRecord(
                     qname=names[i],
                     flag=16 if rc else 0,
                     rname=entry_names[int(ent[i])],
                     pos=int(pos_in_entry[i]) + 1,
                     mapq=60,
-                    cigar=f"{L}M",
+                    cigar=cig,
                     seq=seq,
                     qual="*",
                     tags=(f"NM:i:{int(best_mm[i])}",),

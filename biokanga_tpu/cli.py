@@ -86,6 +86,11 @@ def cmd_align(argv: list[str]) -> int:
     p.add_argument("-Q", "--strand", default="both",
                    choices=("both", "sense", "antisense"))
     p.add_argument("-R", "--maxmulti", type=int, default=5)
+    p.add_argument("-a", "--microindellen", type=int, default=0,
+                   help="accept microInDels up to this length (0..20)")
+    p.add_argument("-A", "--splicejunctlen", type=int, default=0,
+                   help="RNA mode: accept splice junctions separated by up"
+                        " to this distance (25..100000)")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("-F", "--log", default=None)
     args = p.parse_args(argv)
@@ -167,13 +172,22 @@ def cmd_align(argv: list[str]) -> int:
 
         pileup = PileupAccumulator(didx)
 
+    ext = None
+    if args.microindellen or args.splicejunctlen:
+        from .align.pipeline import ExtendedAligner
+
+        ext = ExtendedAligner(engine, args.microindellen, args.splicejunctlen)
+
     n_total = n_unique = n_multi = n_none = 0
     with open(args.out, "w") as out:
         first = True
         for path in args.inreads:
             for blk in read_blocks(path, block_size=args.batch_size):
                 codes, lens = pad_rows(blk.codes, blk.lengths)
-                res = engine.align_with_rescue(codes, lens)
+                if ext is not None:
+                    res = ext.align(codes, lens)
+                else:
+                    res = engine.align_with_rescue(codes, lens)
                 if pileup is not None:
                     pileup.add_alignments(codes, lens, res)
                 write_alignments_sam(
