@@ -513,8 +513,145 @@ def cmd_blitz(argv):
     return 0
 
 
+def cmd_uhamming(argv):
+    """`uhamming` tool parity (uhamming/uhamming.cpp): genome min-Hamming
+    sweep with node partitioning (-n/-N, mode 2) and merge (mode 3)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu uhamming")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   choices=(0, 2, 3), help="0 full, 2 node partial, 3 merge")
+    p.add_argument("-i", "--infasta", default=None)
+    p.add_argument("-I", "--inhmg", action="append", default=None,
+                   help="mode 3: partial .hmg.npz files to merge")
+    p.add_argument("-o", "--out", required=True, help=".hmg.npz output")
+    p.add_argument("-O", "--outcsv", default=None)
+    p.add_argument("-K", "--seqlen", type=int, default=100)
+    p.add_argument("-n", "--numnodes", type=int, default=1)
+    p.add_argument("-N", "--node", type=int, default=1)
+    p.add_argument("--no-rc", action="store_true")
+    args = p.parse_args(argv)
+    from .tools.uhamming import (
+        hamming_sweep, load_hmg, merge_partials, save_hmg, window_validity,
+        write_hamming_csv,
+    )
+
+    if args.mode == 3:
+        parts = []
+        names = starts = K = None
+        for f in args.inhmg or []:
+            h, names, starts, K = load_hmg(f)
+            parts.append(h)
+        merged = merge_partials(parts)
+        save_hmg(args.out, merged, names, starts, K)
+        if args.outcsv:
+            write_hamming_csv(args.outcsv, merged, names, starts)
+        print(f"merged {len(parts)} partials")
+        return 0
+
+    import numpy as np
+
+    from .seq.fasta import read_seqs
+
+    seqs = [(r.name, r.codes) for r in read_seqs(args.infasta)]
+    starts = np.zeros(len(seqs) + 1, dtype=np.int64)
+    for i, (_, s) in enumerate(seqs):
+        starts[i + 1] = starts[i] + len(s)
+    codes = np.concatenate([s for _, s in seqs])
+    n = len(codes)
+    top = n - args.seqlen + 1
+    if args.mode == 2:
+        lo = 1 + (top - 1) * (args.node - 1) // args.numnodes
+        hi = 1 + (top - 1) * args.node // args.numnodes
+    else:
+        lo, hi = 1, top
+    h = hamming_sweep(codes, starts, K=args.seqlen, shift_lo=lo, shift_hi=hi,
+                      include_rc=(not args.no_rc) and args.mode == 0)
+    save_hmg(args.out, h, [x for x, _ in seqs], starts, args.seqlen)
+    if args.outcsv:
+        write_hamming_csv(args.outcsv, h, [x for x, _ in seqs], starts)
+    print(f"uhamming: {n} loci, shifts [{lo},{hi})")
+    return 0
+
+
+def cmd_kmarkers(argv, fasta_out=False):
+    """`biokanga kmarkers` / `prekmarkers` parity (CMarkerKMers/CLocKMers)."""
+    prog = "prekmarkers" if fasta_out else "kmarkers"
+    p = argparse.ArgumentParser(prog=f"biokanga-tpu {prog}")
+    p.add_argument("-I", "--sfx", required=True,
+                   help="index over the multi-cultivar concatenation")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-k", "--kmerlen", type=int, default=50)
+    p.add_argument("-c", "--cultivar", action="append", default=None,
+                   help="entryname=cultivar mapping (repeatable); default: "
+                        "each entry is its own cultivar")
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--max-other", type=int, default=0)
+    args = p.parse_args(argv)
+    from .index.build import load_index
+    from .tools.markers import kmer_markers, write_kmer_markers
+
+    idx = load_index(args.sfx)
+    mapping = {}
+    for spec in args.cultivar or []:
+        k, v = spec.split("=", 1)
+        mapping[k] = v
+    e2c = [mapping.get(n, n) for n in idx.entry_names]
+    ms = kmer_markers(idx, e2c, K=args.kmerlen, min_count=args.min_count,
+                      max_other_count=args.max_other)
+    write_kmer_markers(args.out, ms, fasta=fasta_out)
+    print(f"{len(ms)} K-mer markers")
+    return 0
+
+
+def cmd_snpmarkers(argv):
+    """`biokanga snpmarkers` parity (CMarkers, biokanga/Markers.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu snpmarkers")
+    p.add_argument("-i", "--snpcsv", action="append", required=True,
+                   help="cultivar=snps.csv (repeatable)")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-cov", type=int, default=5)
+    args = p.parse_args(argv)
+    from .tools.markers import snp_markers, write_snp_markers
+
+    csvs = {}
+    for spec in args.snpcsv:
+        c, path = spec.split("=", 1)
+        csvs[c] = path
+    ms = snp_markers(csvs, min_cov=args.min_cov)
+    write_snp_markers(args.out, ms, sorted(csvs))
+    print(f"{len(ms)} SNP markers")
+    return 0
+
+
+def cmd_markerseqs(argv):
+    """`biokanga markerseqs` parity (CMarkerSeq)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu markerseqs")
+    p.add_argument("-I", "--sfx", required=True)
+    p.add_argument("-i", "--snpcsv", action="append", required=True,
+                   help="cultivar=snps.csv")
+    p.add_argument("-o", "--out", required=True, help="marker FASTA")
+    p.add_argument("--flank5", type=int, default=100)
+    p.add_argument("--flank3", type=int, default=100)
+    args = p.parse_args(argv)
+    from .index.build import load_index
+    from .seq.fasta import write_fasta
+    from .tools.markers import marker_seqs, snp_markers
+
+    idx = load_index(args.sfx)
+    csvs = dict(s.split("=", 1) for s in args.snpcsv)
+    ms = snp_markers(csvs, min_cov=1)
+    seqs = marker_seqs(idx, ms, args.flank5, args.flank3)
+    write_fasta(args.out, seqs)
+    print(f"{len(seqs)} marker sequences")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
+    "uhamming": cmd_uhamming,
+    "kmarkers": cmd_kmarkers,
+    "prekmarkers": lambda argv: cmd_kmarkers(argv, fasta_out=True),
+    "snpmarkers": cmd_snpmarkers,
+    "markerseqs": cmd_markerseqs,
     "align": cmd_align,
     "simreads": cmd_simreads,
     "blitz": cmd_blitz,
