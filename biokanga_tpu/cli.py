@@ -645,9 +645,101 @@ def cmd_markerseqs(argv):
     return 0
 
 
+def cmd_maploci(argv):
+    """`biokanga maploci` parity (CMapLoci2Feat)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu maploci")
+    p.add_argument("-i", "--insam", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--strand", action="store_true",
+                   help="require matching strand")
+    args = p.parse_args(argv)
+    from .seq.annotations import read_bed
+    from .tools.expression import (
+        map_loci_to_features, read_sam_loci, write_maploci_csv,
+    )
+
+    feats = read_bed(args.bed)
+    counts, unm = map_loci_to_features(read_sam_loci(args.insam), feats,
+                                       args.strand)
+    write_maploci_csv(args.out, feats, counts, unm)
+    print(f"mapped onto {len(feats)} features ({unm} unmatched)")
+    return 0
+
+
+def cmd_gendeseq(argv):
+    """`biokanga gendeseq` parity (genDESeq.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu gendeseq")
+    p.add_argument("-c", "--control", action="append", required=True)
+    p.add_argument("-e", "--experiment", action="append", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-o", "--out", required=True)
+    args = p.parse_args(argv)
+    from .seq.annotations import read_bed
+    from .tools.expression import gen_deseq_table
+
+    feats = read_bed(args.bed)
+    gen_deseq_table(feats, args.control, args.experiment, args.out)
+    print(f"count table: {len(feats)} features x "
+          f"{len(args.control) + len(args.experiment)} samples")
+    return 0
+
+
+def cmd_rnade(argv):
+    """`biokanga rnade` parity (kangade.cpp DE characterisation)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu rnade")
+    p.add_argument("-c", "--control", required=True)
+    p.add_argument("-e", "--experiment", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--min-cnts", type=int, default=10)
+    args = p.parse_args(argv)
+    from .seq.annotations import read_bed
+    from .tools.expression import rnade, write_rnade_csv
+
+    res = rnade(read_bed(args.bed), args.control, args.experiment,
+                num_bins=args.bins, min_feat_cnts=args.min_cnts)
+    write_rnade_csv(args.out, res)
+    print(f"rnade: {len(res)} features characterised")
+    return 0
+
+
+def cmd_locateroi(argv):
+    """`biokanga locateroi` parity (CLocateROI)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu locateroi")
+    p.add_argument("-i", "--insam", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-cov", type=int, default=2)
+    p.add_argument("--min-len", type=int, default=100)
+    args = p.parse_args(argv)
+    import re as _re
+
+    from .tools.expression import locate_roi, write_roi_csv
+
+    chrom_lens = {}
+    with open(args.insam) as f:
+        for line in f:
+            if not line.startswith("@"):
+                break
+            if line.startswith("@SQ"):
+                name = _re.search(r"SN:(\S+)", line)
+                ln = _re.search(r"LN:(\d+)", line)
+                if name and ln:
+                    chrom_lens[name.group(1)] = int(ln.group(1))
+    rois = locate_roi(args.insam, chrom_lens, args.min_cov, args.min_len)
+    write_roi_csv(args.out, rois)
+    print(f"{len(rois)} regions of interest")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "maploci": cmd_maploci,
+    "gendeseq": cmd_gendeseq,
+    "rnade": cmd_rnade,
+    "locateroi": cmd_locateroi,
     "kmarkers": cmd_kmarkers,
     "prekmarkers": lambda argv: cmd_kmarkers(argv, fasta_out=True),
     "snpmarkers": cmd_snpmarkers,
