@@ -41,6 +41,8 @@ def cmd_index(argv: list[str]) -> int:
     p.add_argument("-o", "--out", required=True, help="output index file (.npz)")
     p.add_argument("-r", "--ref", default="", help="reference species/tag")
     p.add_argument("--lut-bases", type=int, default=12)
+    p.add_argument("-q", "--sumrslts", default=None,
+                   help="log experiment/params/results to this SQLite DB")
     p.add_argument("-F", "--log", default=None)
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
@@ -54,6 +56,15 @@ def cmd_index(argv: list[str]) -> int:
     )
     save_index(idx, args.out)
     log.info("index written to %s (%.1fs)", args.out, sw.elapsed())
+    if args.sumrslts:
+        from .utils.sqlite_summaries import SQLiteSummaries
+
+        db = SQLiteSummaries(args.sumrslts)
+        db.log_run("index", {"infasta": args.infasta, "out": args.out,
+                             "lut_bases": args.lut_bases},
+                   {"entries": idx.num_entries, "total_bp": idx.total_len,
+                    "seconds": round(sw.elapsed(), 2)})
+        db.close()
     return 0
 
 
@@ -75,6 +86,8 @@ def cmd_align(argv: list[str]) -> int:
     p.add_argument("-O", "--snpfile", default=None,
                    help="call SNPs and write reference-layout CSV here")
     p.add_argument("--snpvcf", default=None, help="also write SNPs as VCF")
+    p.add_argument("-q", "--sumrslts", default=None,
+                   help="log experiment/params/results to this SQLite DB")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
     p.add_argument("-P", "--qvalue", type=float, default=0.05)
     p.add_argument("--snpnonrefpcnt", type=float, default=25.0)
@@ -228,6 +241,17 @@ def cmd_align(argv: list[str]) -> int:
             write_snps_vcf(args.snpvcf, calls, idx.entry_names,
                            np.diff(idx.entry_starts))
         log.info("called %d SNPs -> %s", len(calls), args.snpfile)
+    if args.sumrslts:
+        from .utils.sqlite_summaries import SQLiteSummaries
+
+        db = SQLiteSummaries(args.sumrslts)
+        db.log_run("align", {"inreads": args.inreads, "sfx": args.sfx,
+                             "substitutions": args.substitutions,
+                             "editdelta": args.editdelta, "mode": args.mode},
+                   {"total": n_total, "unique": n_unique, "multi": n_multi,
+                    "unaligned": n_none,
+                    "seconds": round(sw.elapsed(), 2)})
+        db.close()
     return 0
 
 
@@ -733,9 +757,56 @@ def cmd_locateroi(argv):
     return 0
 
 
+def cmd_snps2sqlite(argv):
+    """`biokanga snps2sqlite` parity (csv2sqlite SNP schema loader)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu snps2sqlite")
+    p.add_argument("-i", "--incsv", required=True)
+    p.add_argument("-o", "--db", required=True)
+    p.add_argument("-n", "--name", default="experiment")
+    p.add_argument("-c", "--cultivar", default="cultivar")
+    args = p.parse_args(argv)
+    from .utils.sqlite_summaries import snps_to_sqlite
+
+    n = snps_to_sqlite(args.db, args.incsv, args.name, args.cultivar)
+    print(f"loaded {n} SNPs into {args.db}")
+    return 0
+
+
+def cmd_psl2sqlite(argv):
+    """`biokanga psl2sqlite` parity (CSQLitePSL loader)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu psl2sqlite")
+    p.add_argument("-i", "--inpsl", required=True)
+    p.add_argument("-o", "--db", required=True)
+    p.add_argument("-n", "--name", default="experiment")
+    args = p.parse_args(argv)
+    from .utils.sqlite_summaries import psl_to_sqlite
+
+    n = psl_to_sqlite(args.db, args.inpsl, args.name)
+    print(f"loaded {n} alignments into {args.db}")
+    return 0
+
+
+def cmd_de2sqlite(argv):
+    """`biokanga de2sqlite` parity (CSQLiteDE loader)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu de2sqlite")
+    p.add_argument("-i", "--incsv", required=True)
+    p.add_argument("-o", "--db", required=True)
+    p.add_argument("-n", "--name", default="experiment")
+    args = p.parse_args(argv)
+    from .utils.sqlite_summaries import de_to_sqlite
+
+    n = de_to_sqlite(args.db, args.incsv, args.name)
+    print(f"loaded {n} DE rows into {args.db}")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "snps2sqlite": cmd_snps2sqlite,
+    "snpm2sqlite": cmd_snps2sqlite,
+    "psl2sqlite": cmd_psl2sqlite,
+    "de2sqlite": cmd_de2sqlite,
     "maploci": cmd_maploci,
     "gendeseq": cmd_gendeseq,
     "rnade": cmd_rnade,
