@@ -1,0 +1,173 @@
+"""Greedy overlap-extension de novo assembly.
+
+Capability match for `biokanga assemb` (CdeNovoAssemb::AssembReads,
+biokanga/deNovoAssemb.cpp:109): iterative passes with a decaying minimum
+overlap (reference defaults 150 -> 25, Kangadna.h:89-90); each pass finds
+suffix-prefix overlaps between current sequences (both orientations),
+greedily merges unambiguous dovetails, and repeats until no merges.
+
+The merge-selection graph is intentionally conservative (the reference's
+semantics): a merge A->B happens only when A has exactly one best right
+extension and B exactly one best left extension (mutual best), so
+repeat-induced ambiguity breaks contigs rather than mis-joining them.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..seq.encode import revcomp
+from .overlap import find_prefix_occurrences, verify_overlaps
+
+C_DFLT_INIT_SE_OVLP = 150  # Kangadna.h:89
+C_DFLT_FIN_SE_OVLP = 25    # Kangadna.h:90
+C_MIN_ASSEMB_SEQ_LEN = 80  # cMinDfltSeqLenToAssemb, Kangadna.h:109
+
+
+@dataclass
+class AssemblyStats:
+    passes: int = 0
+    merges: int = 0
+    n_contigs: int = 0
+    total_bp: int = 0
+    max_contig: int = 0
+
+
+def _pad(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    L = max(len(s) for s in seqs)
+    out = np.full((len(seqs), L), 4, dtype=np.int8)
+    lens = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+        lens[i] = len(s)
+    return out, lens
+
+
+def one_pass(seqs: list[np.ndarray], min_overlap: int, k: int = 16,
+             max_subs_per_100: float = 1.0):
+    """One merge pass. Returns (new_seqs, n_merges)."""
+    n = len(seqs)
+    if n < 2:
+        return seqs, 0
+    # queries = every sequence in both orientations; orientation 1 is the
+    # revcomp (a right-extension by rc(B) means B's rc dovetails A)
+    fwd, flens = _pad(seqs)
+    rc_list = [revcomp(s) for s in seqs]
+    rcp, _ = _pad(rc_list)
+    queries = np.concatenate([fwd, rcp], axis=0)
+    qlens = np.concatenate([flens, flens])
+
+    cands, _idx = find_prefix_occurrences(seqs, queries, qlens, k=k)
+    qid, tid, ovl, subs = verify_overlaps(
+        seqs, queries, qlens, cands, min_overlap, max_subs_per_100
+    )
+    if len(qid) == 0:
+        return seqs, 0
+
+    # drop self-overlaps and rc-self
+    orient = qid >= n
+    base_q = np.where(orient, qid - n, qid)
+    keep = base_q != tid
+    qid, tid, ovl, orient, base_q = (
+        qid[keep], tid[keep], ovl[keep], orient[keep], base_q[keep]
+    )
+    if len(qid) == 0:
+        return seqs, 0
+
+    # choose, for each target, its single BEST right extension (longest
+    # overlap); ambiguity (two equally long) disqualifies the target
+    best_ov = np.full(n, -1, np.int64)
+    best_j = np.full(n, -1, np.int64)
+    ambiguous = np.zeros(n, bool)
+    for j in range(len(qid)):
+        t = tid[j]
+        if ovl[j] > best_ov[t]:
+            best_ov[t] = ovl[j]
+            best_j[t] = j
+            ambiguous[t] = False
+        elif ovl[j] == best_ov[t]:
+            ambiguous[t] = True
+
+    # each extension source (query base seq, with orientation) may extend
+    # only one target (unique left attachment)
+    src_count = {}
+    for t in range(n):
+        if best_j[t] < 0 or ambiguous[t]:
+            continue
+        j = best_j[t]
+        key = (int(base_q[j]), bool(orient[j]))
+        src_count[key] = src_count.get(key, 0) + 1
+
+    merged_into = np.full(n, -1, np.int64)   # target -> query it merges with
+    merge_info = {}
+    for t in range(n):
+        if best_j[t] < 0 or ambiguous[t]:
+            continue
+        j = best_j[t]
+        key = (int(base_q[j]), bool(orient[j]))
+        if src_count.get(key, 0) != 1:
+            continue
+        merged_into[t] = base_q[j]
+        merge_info[t] = (int(base_q[j]), bool(orient[j]), int(ovl[j]))
+
+    # build chains t -> q (q possibly rc), walking only from chain heads
+    # (a sequence that is not itself the extension of some other target);
+    # visited bookkeeping guards against cycles
+    out = []
+    n_merges = 0
+    extension_seqs = {q for (q, _, _) in merge_info.values()}
+    visited = np.zeros(n, bool)
+    for t0 in range(n):
+        if visited[t0]:
+            continue
+        if t0 in extension_seqs:
+            continue
+        chain = [t0]
+        visited[t0] = True
+        cur = t0
+        seq = seqs[t0].copy()
+        while cur in merge_info:
+            q, is_rc, o = merge_info[cur]
+            if visited[q]:
+                break  # cycle guard
+            ext = rc_list[q] if is_rc else seqs[q]
+            seq = np.concatenate([seq, ext[o:]])
+            visited[q] = True
+            n_merges += 1
+            cur = q
+        out.append(seq)
+    # any sequence not visited (isolated or part of broken chains)
+    for i in range(n):
+        if not visited[i]:
+            out.append(seqs[i])
+    return out, n_merges
+
+
+def assemble(
+    seqs: list[np.ndarray],
+    init_overlap: int = C_DFLT_INIT_SE_OVLP,
+    final_overlap: int = C_DFLT_FIN_SE_OVLP,
+    min_seq_len: int = C_MIN_ASSEMB_SEQ_LEN,
+    max_subs_per_100: float = 1.0,
+    max_passes: int = 50,
+) -> tuple[list[np.ndarray], AssemblyStats]:
+    """Full iterative assembly with the reference's decaying-overlap
+    schedule (deNovoAssemb.cpp pass loop)."""
+    cur = [s for s in seqs if len(s) >= min_seq_len]
+    st = AssemblyStats()
+    ov = init_overlap
+    while st.passes < max_passes:
+        ov_eff = min(ov, min(len(s) for s in cur) - 1) if cur else ov
+        ov_eff = max(ov_eff, final_overlap)
+        cur, merges = one_pass(cur, ov_eff, max_subs_per_100=max_subs_per_100)
+        st.passes += 1
+        st.merges += merges
+        if merges == 0:
+            if ov <= final_overlap:
+                break
+            ov = max(final_overlap, int(ov * 2 / 3))
+    st.n_contigs = len(cur)
+    st.total_bp = int(sum(len(s) for s in cur))
+    st.max_contig = int(max((len(s) for s in cur), default=0))
+    return cur, st

@@ -800,9 +800,76 @@ def cmd_de2sqlite(argv):
     return 0
 
 
+def cmd_assemb(argv):
+    """`biokanga assemb` parity (CdeNovoAssemb, deNovoAssemb.cpp:109)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu assemb")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True, help="contig FASTA")
+    p.add_argument("--init-overlap", type=int, default=150)
+    p.add_argument("--final-overlap", type=int, default=25)
+    p.add_argument("--min-seq-len", type=int, default=80)
+    p.add_argument("--max-subs-100", type=float, default=1.0)
+    p.add_argument("-F", "--log", default=None)
+    args = p.parse_args(argv)
+    log = open_diagnostics(args.log)
+    sw = StopWatch()
+    from .assembly.assemble import assemble
+    from .seq.fasta import read_seqs, write_fasta
+
+    seqs = []
+    for path in args.inreads:
+        seqs.extend(r.codes for r in read_seqs(path))
+    contigs, st = assemble(
+        seqs, init_overlap=args.init_overlap,
+        final_overlap=args.final_overlap, min_seq_len=args.min_seq_len,
+        max_subs_per_100=args.max_subs_100,
+    )
+    contigs.sort(key=len, reverse=True)
+    write_fasta(args.out, ((f"contig{i+1}", c)
+                           for i, c in enumerate(contigs)))
+    log.info(
+        "assembled %d seqs -> %d contigs (%d bp, max %d) in %d passes,"
+        " %.1fs", len(seqs), st.n_contigs, st.total_bp, st.max_contig,
+        st.passes, sw.elapsed(),
+    )
+    return 0
+
+
+def cmd_scaffold(argv):
+    """`biokanga scaffold` parity (CScaffolder, Scaffolder.cpp:772)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu scaffold")
+    p.add_argument("-c", "--contigs", required=True)
+    p.add_argument("-i", "--pe1", required=True)
+    p.add_argument("-u", "--pe2", required=True)
+    p.add_argument("-o", "--out", required=True, help="scaffold FASTA")
+    p.add_argument("--insert-size", type=int, default=400)
+    p.add_argument("--min-votes", type=int, default=2)
+    p.add_argument("-F", "--log", default=None)
+    args = p.parse_args(argv)
+    log = open_diagnostics(args.log)
+    from .assembly.scaffold import scaffold
+    from .seq.fasta import read_blocks, read_seqs, write_fasta
+
+    contigs = [r.codes for r in read_seqs(args.contigs)]
+    b1 = next(read_blocks(args.pe1, block_size=1 << 30))
+    b2 = next(read_blocks(args.pe2, block_size=1 << 30))
+    scaffolds, paths = scaffold(
+        contigs, b1.codes, b1.lengths, b2.codes, b2.lengths,
+        insert_size=args.insert_size, min_votes=args.min_votes,
+    )
+    write_fasta(args.out, ((f"scaffold{i+1}", s)
+                           for i, s in enumerate(scaffolds)))
+    n_joined = sum(1 for p_ in paths if len(p_) > 1)
+    log.info("%d contigs -> %d scaffolds (%d joined paths)",
+             len(contigs), len(scaffolds), n_joined)
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "assemb": cmd_assemb,
+    "scaffold": cmd_scaffold,
     "snps2sqlite": cmd_snps2sqlite,
     "snpm2sqlite": cmd_snps2sqlite,
     "psl2sqlite": cmd_psl2sqlite,
