@@ -58,7 +58,12 @@ def one_pass(seqs: list[np.ndarray], min_overlap: int, k: int = 16,
     queries = np.concatenate([fwd, rcp], axis=0)
     qlens = np.concatenate([flens, flens])
 
-    cands, _idx = find_prefix_occurrences(seqs, queries, qlens, k=k)
+    # multiple anchor offsets so residual errors near the query start
+    # cannot hide a true overlap (noisy long-read regime)
+    anchors = (0, k // 2, k, 2 * k)
+    cands, _idx = find_prefix_occurrences(
+        seqs, queries, qlens, k=k, anchor_offsets=anchors
+    )
     qid, tid, ovl, subs = verify_overlaps(
         seqs, queries, qlens, cands, min_overlap, max_subs_per_100
     )

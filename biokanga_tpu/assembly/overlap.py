@@ -5,9 +5,10 @@ TPU re-design of the reference's packed-read overlap machinery
 biokanga/Kangadna.cpp:6391, deNovoAssemb.cpp:939): instead of a sparse
 suffix index over packed 15-base words walked per thread, the current
 sequence set is indexed with the SAME bounded-suffix-array build used for
-genomes, prefix k-mers of every sequence are range-looked-up in one
-batch, and candidate suffix-prefix overlaps are verified with the packed
-Hamming extension.  This is the "sorted-prefix join" plan of SURVEY §7.3.4.
+genomes, query k-mers (at a few anchor offsets, so sequencing errors in
+the first bases don't kill the join) are range-looked-up in one batch,
+and candidate suffix-prefix overlaps are verified with a bounded compare.
+This is the "sorted-prefix join" plan of SURVEY §7.3.4.
 """
 from __future__ import annotations
 
@@ -19,18 +20,16 @@ import numpy as np
 
 from ..index.build import build_index
 from ..index.device import to_device
-from ..ops.extend_packed import hamming_extend_packed, pack_reads
 from ..ops.lookup import pack_read_kmers, seed_range_lookup
-from ..seq.encode import revcomp
 
 
 @dataclass
 class OverlapCandidates:
-    """For each query sequence: candidate (target seq, target offset)
-    pairs where the query PREFIX matches exactly for k bases."""
+    """Seed matches: query-prefix-region k-mer found inside a target."""
     qids: np.ndarray       # (M,) query index
+    qoffs: np.ndarray      # (M,) anchor offset within the query
     tids: np.ndarray       # (M,) target sequence index
-    toffs: np.ndarray      # (M,) offset of match within target
+    toffs: np.ndarray      # (M,) offset of the k-mer within the target
 
 
 def find_prefix_occurrences(
@@ -38,44 +37,44 @@ def find_prefix_occurrences(
     queries: np.ndarray,      # (Q, L) int8 padded
     qlens: np.ndarray,
     k: int = 16,
+    anchor_offsets: tuple = (0,),
     max_occ: int = 32,
 ):
-    """All occurrences of each query's first-k-bases within the seq set.
-
-    Returns OverlapCandidates (exact k-seed matches; callers verify the
-    full overlap). Uses the genome-index machinery over the concatenated
-    sequence set.
-    """
+    """Occurrences of each query's k-mer at each anchor offset within the
+    sequence set. Returns (OverlapCandidates, index)."""
     idx = build_index([(str(i), s) for i, s in enumerate(seqs)],
                       lut_bases=min(8, k))
     didx = to_device(idx)
     Q, L = queries.shape
+    offs = tuple(o for o in anchor_offsets if o + k <= L)
     qd = jnp.asarray(queries)
-    qlh, qll, qhh, qhl, has_n = pack_read_kmers(qd, (0,), k)
+    qlh, qll, qhh, qhl, has_n = pack_read_kmers(qd, offs, k)
     start, end = seed_range_lookup(
         didx.key_hi, didx.key_lo, didx.lut, didx.lut_bases,
         qlh, qll, qhh, qhl, core_len=k, max_steps=didx.max_bsearch_steps,
     )
-    start = np.asarray(start)[:, 0]
-    end = np.asarray(end)[:, 0]
-    has_n = np.asarray(has_n)[:, 0]
+    start = np.asarray(start)
+    end = np.asarray(end)
+    has_n = np.asarray(has_n)
     size = np.minimum(end - start, max_occ)
     size[has_n] = 0
     pos_sorted = np.asarray(jax.device_get(didx.pos_sorted))
     starts = idx.entry_starts
 
-    qids, tids, toffs = [], [], []
+    qids, qoffs, tids, toffs = [], [], [], []
     for q in range(Q):
-        for j in range(size[q]):
-            p = int(pos_sorted[start[q] + j])
-            e = int(np.searchsorted(starts, p, side="right")) - 1
-            qids.append(q)
-            tids.append(e)
-            toffs.append(p - int(starts[e]))
+        for s_i, o in enumerate(offs):
+            for j in range(size[q, s_i]):
+                p = int(pos_sorted[start[q, s_i] + j])
+                e = int(np.searchsorted(starts, p, side="right")) - 1
+                qids.append(q)
+                qoffs.append(o)
+                tids.append(e)
+                toffs.append(p - int(starts[e]))
     return (
         OverlapCandidates(
-            np.array(qids, np.int64), np.array(tids, np.int64),
-            np.array(toffs, np.int64),
+            np.array(qids, np.int64), np.array(qoffs, np.int64),
+            np.array(tids, np.int64), np.array(toffs, np.int64),
         ),
         idx,
     )
@@ -89,36 +88,44 @@ def verify_overlaps(
     min_overlap: int,
     max_subs_per_100: float = 1.0,
 ):
-    """Check each candidate as a true suffix-prefix overlap:
-    target[toff:] must match query[0 : tlen - toff] (i.e. the query
-    extends the target to the right), overlap >= min_overlap, and the
-    query must extend past the target end (proper dovetail).
+    """Check candidates as dovetail overlaps: with the query k-mer at
+    anchor offset o matching the target at toff, query position i aligns
+    target position (toff - o + i); the overlap runs to the target end
+    (length tlen - toff + o) and the query must extend past it.
 
-    Returns arrays (qid, tid, overlap_len, subs) for accepted overlaps.
+    Returns (qid, tid, overlap_len, subs) for accepted overlaps,
+    deduplicated to the best (fewest subs) per (qid, tid, implied shift).
     """
     tlens = np.array([len(s) for s in seqs], np.int64)
-    ov = tlens[cands.tids] - cands.toffs
+    shift = cands.toffs - cands.qoffs           # query i -> target shift+i
+    ov = tlens[cands.tids] - shift
     qmax = qlens[cands.qids]
-    keep = (ov >= min_overlap) & (ov < qmax)  # dovetail: query extends right
+    keep = (shift >= 0) & (ov >= min_overlap) & (ov < qmax)
     if not keep.any():
         return (np.zeros(0, np.int64),) * 4
     qid = cands.qids[keep]
     tid = cands.tids[keep]
-    toff = cands.toffs[keep]
+    sh = shift[keep]
     ovl = ov[keep]
 
-    # verify mismatches over the overlap via numpy (sets here are modest;
-    # device verification kicks in through the aligner-style path when
-    # read sets grow — assembly passes shrink the set each round)
-    subs = np.zeros(len(qid), np.int64)
-    okf = np.ones(len(qid), bool)
+    seen = set()
+    oq, ot, oo, os_ = [], [], [], []
+    budget = lambda o: max(0, int(o * max_subs_per_100 / 100.0))
     for i in range(len(qid)):
+        key = (int(qid[i]), int(tid[i]), int(sh[i]))
+        if key in seen:
+            continue
+        seen.add(key)
         t = seqs[tid[i]]
         q = queries[qid[i]]
         o = int(ovl[i])
-        a = t[int(toff[i]):]
+        a = t[int(sh[i]):]
         b = q[:o]
         s = int(np.sum((a != b) | (a >= 4) | (b >= 4)))
-        subs[i] = s
-        okf[i] = s <= max(0, int(o * max_subs_per_100 / 100.0))
-    return qid[okf], tid[okf], ovl[okf], subs[okf]
+        if s <= budget(o):
+            oq.append(int(qid[i]))
+            ot.append(int(tid[i]))
+            oo.append(o)
+            os_.append(s)
+    return (np.array(oq, np.int64), np.array(ot, np.int64),
+            np.array(oo, np.int64), np.array(os_, np.int64))

@@ -865,9 +865,161 @@ def cmd_scaffold(argv):
     return 0
 
 
+# ------------------------------------------------- pacbiokanga family -----
+
+def cmd_ecreads(argv):
+    """`pacbiokanga ecreads` parity (CPBErrCorrect, PBErrCorrect.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu ecreads")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True, help="corrected FASTA")
+    p.add_argument("--seed-len", type=int, default=12)
+    p.add_argument("--min-seed-votes", type=int, default=8)
+    p.add_argument("--sw-band", type=int, default=96)
+    p.add_argument("--min-score", type=int, default=60)
+    p.add_argument("-F", "--log", default=None)
+    args = p.parse_args(argv)
+    log = open_diagnostics(args.log)
+    sw = StopWatch()
+    from .pacbio.ecreads import ECParams, ec_reads
+    from .seq.fasta import read_seqs, write_fasta
+
+    names, reads = [], []
+    for path in args.inreads:
+        for r in read_seqs(path):
+            names.append(r.name)
+            reads.append(r.codes)
+    corrected, stats = ec_reads(
+        reads,
+        ECParams(seed_len=args.seed_len, min_seed_votes=args.min_seed_votes,
+                 sw_band=args.sw_band, min_overlap_score=args.min_score),
+    )
+    write_fasta(args.out, zip(names, corrected))
+    log.info("ecreads: %d reads, %d overlaps used, %.1fs",
+             stats["reads"], stats["overlaps_used"], sw.elapsed())
+    return 0
+
+
+def cmd_pbcontigs(argv):
+    """`pacbiokanga contigs` parity (CPBAssemb): assemble error-corrected
+    long reads with a relaxed-identity overlap schedule."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu contigs")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-overlap", type=int, default=500)
+    p.add_argument("--final-overlap", type=int, default=100)
+    p.add_argument("--max-subs-100", type=float, default=5.0)
+    args = p.parse_args(argv)
+    from .assembly.assemble import assemble
+    from .seq.fasta import read_seqs, write_fasta
+
+    seqs = []
+    for path in args.inreads:
+        seqs.extend(r.codes for r in read_seqs(path))
+    contigs, st = assemble(
+        seqs, init_overlap=args.min_overlap,
+        final_overlap=args.final_overlap, min_seq_len=200,
+        max_subs_per_100=args.max_subs_100,
+    )
+    contigs.sort(key=len, reverse=True)
+    write_fasta(args.out, ((f"contig{i+1}", c)
+                           for i, c in enumerate(contigs)))
+    print(f"{len(seqs)} reads -> {st.n_contigs} contigs (max {st.max_contig})")
+    return 0
+
+
+def cmd_eccontigs(argv):
+    """`pacbiokanga eccontigs` parity (CPBECContigs): error-correct
+    assembled contigs with (HiFi/corrected) reads."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu eccontigs")
+    p.add_argument("-c", "--contigs", required=True)
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--sw-band", type=int, default=96)
+    p.add_argument("--min-score", type=int, default=60)
+    args = p.parse_args(argv)
+    import numpy as _np
+
+    from .index.build import build_index
+    from .index.device import to_device
+    from .pacbio.ecreads import ECParams, correct_read, find_overlap_candidates
+    from .seq.encode import revcomp as _rc
+    from .seq.fasta import read_seqs, write_fasta
+
+    contigs = [(r.name, r.codes) for r in read_seqs(args.contigs)]
+    reads = []
+    for path in args.inreads:
+        reads.extend(r.codes for r in read_seqs(path))
+    ecp = ECParams(sw_band=args.sw_band, min_overlap_score=args.min_score)
+    # index the READS (+rc); each contig is corrected as a probe
+    entries = [(f"r{i}", s) for i, s in enumerate(reads)]
+    entries += [(f"rc{i}", _rc(s)) for i, s in enumerate(reads)]
+    idx = build_index(entries, lut_bases=8)
+    didx = to_device(idx)
+    n = len(reads)
+    out = []
+    for name, ctg in contigs:
+        cands = []
+        for e, diag, v in find_overlap_candidates(didx, idx, -1, ctg, ecp):
+            t = reads[e] if e < n else _rc(reads[e - n])
+            cands.append((t, diag))
+        fixed, used = correct_read(ctg, cands, ecp)
+        out.append((name, fixed))
+    write_fasta(args.out, out)
+    print(f"corrected {len(out)} contigs")
+    return 0
+
+
+def cmd_kmerdist(argv):
+    """`pacbiokanga kmerdist` parity (CMAFKMerDist): exact-match K-mer
+    distribution comparison between sequence sets."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kmerdist")
+    p.add_argument("-i", "--infasta", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-k", "--kmerlen", type=int, default=4)
+    args = p.parse_args(argv)
+    import numpy as _np
+
+    from .seq.fasta import read_seqs
+
+    k = args.kmerlen
+    with open(args.out, "w") as f:
+        hdr = ['"KMer"'] + [f'"{path}"' for path in args.infasta]
+        f.write(",".join(hdr) + "\n")
+        tables = []
+        for path in args.infasta:
+            counts = _np.zeros(4**k, dtype=_np.int64)
+            for rec in read_seqs(path):
+                c = rec.codes
+                val = _np.zeros(len(c), _np.int64)
+                ok = _np.ones(len(c), bool)
+                if len(c) < k:
+                    continue
+                v = _np.zeros(len(c) - k + 1, _np.int64)
+                good = _np.ones(len(c) - k + 1, bool)
+                for j in range(k):
+                    cj = c[j : len(c) - k + 1 + j]
+                    good &= cj < 4
+                    v = v * 4 + _np.clip(cj, 0, 3)
+                counts += _np.bincount(v[good], minlength=4**k)
+            tables.append(counts)
+        for m in range(4**k):
+            kmer = "".join(
+                "ACGT"[(m >> (2 * (k - 1 - j))) & 3] for j in range(k)
+            )
+            f.write(
+                f'"{kmer}",' + ",".join(str(int(t[m])) for t in tables) + "\n"
+            )
+    print(f"kmerdist: {4**k} {k}-mers x {len(args.infasta)} sets")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "ecreads": cmd_ecreads,
+    "contigs": cmd_pbcontigs,
+    "eccontigs": cmd_eccontigs,
+    "kmerdist": cmd_kmerdist,
     "assemb": cmd_assemb,
     "scaffold": cmd_scaffold,
     "snps2sqlite": cmd_snps2sqlite,
