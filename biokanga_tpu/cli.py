@@ -121,6 +121,10 @@ def cmd_align(argv: list[str]) -> int:
     didx = to_device(idx)
     log.info("index loaded: %d bp, %d entries (%.1fs)",
              idx.total_len, idx.num_entries, sw.mark("load"))
+    bam_out = None
+    if args.out.endswith(".bam"):
+        bam_out = args.out
+        args.out = args.out + ".tmp.sam"
     params = AlignParams(
         max_subs_per100=args.substitutions,
         min_edit_dist=args.editdelta,
@@ -177,6 +181,13 @@ def cmd_align(argv: list[str]) -> int:
             "paired %d pairs: %d proper (%.2f%%) in %.1fs",
             n_pairs, n_proper, 100.0 * n_proper / max(n_pairs, 1), sw.elapsed(),
         )
+        if bam_out:
+            import os
+
+            from .align.bam import sam_to_bam
+
+            sam_to_bam(args.out, bam_out)
+            os.remove(args.out)
         return 0
 
     pileup = None
@@ -241,6 +252,13 @@ def cmd_align(argv: list[str]) -> int:
             write_snps_vcf(args.snpvcf, calls, idx.entry_names,
                            np.diff(idx.entry_starts))
         log.info("called %d SNPs -> %s", len(calls), args.snpfile)
+    if bam_out:
+        import os
+
+        from .align.bam import sam_to_bam
+
+        sam_to_bam(args.out, bam_out)
+        os.remove(args.out)
     if args.sumrslts:
         from .utils.sqlite_summaries import SQLiteSummaries
 
