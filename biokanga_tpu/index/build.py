@@ -94,10 +94,18 @@ def build_index(
     for i, (_, s) in enumerate(seqs):
         codes[starts[i] : starts[i + 1]] = s
 
-    hi, lo = pack_keys(codes)
-    order = np.lexsort((lo, hi)).astype(np.int32)
-    key_hi = hi[order]
-    key_lo = lo[order]
+    # native threaded key build + parallel sample sort (CMTqsort role,
+    # libbiokanga/MTqsort.cpp); numpy lexsort fallback
+    from ..utils.native import build_sorted_keys
+
+    nat = build_sorted_keys(codes)
+    if nat is not None:
+        order, key_hi, key_lo = nat
+    else:
+        hi, lo = pack_keys(codes)
+        order = np.lexsort((lo, hi)).astype(np.int32)
+        key_hi = hi[order]
+        key_lo = lo[order]
 
     P = lut_bases
     prefix = (key_hi >> np.uint32(32 - 2 * P)).astype(np.int64)

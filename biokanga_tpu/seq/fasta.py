@@ -132,7 +132,75 @@ def read_blocks(
     max_len: int | None = None,
 ) -> Iterator[ReadBlock]:
     """Batch reads into fixed-width blocks (cf. reference cMaxReadsPerBlock=4096
-    thread-dispatch blocks, biokanga/Aligner.h:16)."""
+    thread-dispatch blocks, biokanga/Aligner.h:16).
+
+    FASTQ inputs go through the native C++ block parser when available
+    (native/kanga_native.cpp parse_fastq_block — the CFasta hot path)."""
+    if max_len is not None and _sniff_fastq(path):
+        gen = _read_blocks_native(path, block_size, max_len)
+        if gen is not None:
+            yield from gen
+            return
+    elif _sniff_fastq(path):
+        gen = _read_blocks_native(path, block_size, None)
+        if gen is not None:
+            yield from gen
+            return
+    yield from _read_blocks_py(path, block_size, max_len)
+
+
+def _read_blocks_native(path, block_size, max_len):
+    from ..utils.native import get_lib, parse_fastq_native
+
+    if get_lib() is None:
+        return None
+
+    def gen():
+        CHUNK = 32 << 20
+        rem = b""
+        eof = False
+        with _open_text(path) as f:
+            while True:
+                # keep roughly enough buffered bytes for one full block
+                need = block_size * ((max_len or 256) * 2 + 96)
+                while not eof and len(rem) < need:
+                    data = f.read(CHUNK)
+                    if not data:
+                        eof = True
+                        break
+                    rem += data
+                if not rem.strip():
+                    break
+                if max_len is None:
+                    # infer width from the first ~1000 records (sequence =
+                    # every 4th line); variable-length tails beyond this
+                    # sample would be clamped, so take a small margin
+                    lines = rem[: 1 << 20].split(b"\n")
+                    seqlens = [len(l) for l in lines[1:4000:4]]
+                    w = max(seqlens[:1000] or [1])
+                else:
+                    w = max_len
+                out = parse_fastq_native(rem, block_size, w)
+                if out is None:
+                    return
+                names, codes, lengths, quals, consumed = out
+                if len(names) == 0:
+                    if eof:
+                        break
+                    continue
+                rem = rem[consumed:]
+                yield ReadBlock(names, codes, lengths, quals)
+                if eof and not rem.strip():
+                    break
+
+    return gen()
+
+
+def _read_blocks_py(
+    path: str,
+    block_size: int = 4096,
+    max_len: int | None = None,
+) -> Iterator[ReadBlock]:
     names: list[str] = []
     seqs: list[np.ndarray] = []
     quals: list[np.ndarray | None] = []
