@@ -68,7 +68,7 @@ def _strand_candidates(
     sort last, so slicing keeps all real candidates unless they exceed the
     cap, which raises the overflow flag -> rescue pass).
     """
-    key_hi, key_lo, lut, pos_sorted, lut_bases, max_steps = didx_arrays
+    key_hi, key_lo, lut, pos_rows, lut_bases, max_steps = didx_arrays
     S = len(dp.offsets)
     qlh, qll, qhh, qhl, has_n = pack_read_kmers(seq, dp.offsets, dp.core_len)
     start, end = seed_range_lookup(
@@ -77,19 +77,37 @@ def _strand_candidates(
     )
     size = end - start
     overflow = size > H
-    # contiguous candidate runs: one aligned slice per (read, core).
-    # Slices are widened to 16-int-aligned boundaries (aligned gathers are
-    # far cheaper) and the true start extracted with a 16-way select.
-    # (pos_sorted is tail-padded by MAX_CAND_PER_CORE in DeviceIndex.)
-    Hw = H + 16
-    a_start = (start & ~jnp.int32(15)).reshape(-1)
-    wide = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pos_sorted, (s,), (Hw,))
-    )(a_start).reshape(start.shape + (Hw,))
-    frac = (start & 15)[..., None]               # (B, S, 1) in [0, 16)
-    pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
-    for t in range(16):
-        pos = jnp.where(frac == t, wide[..., t : t + H], pos)
+    # candidate runs are read with ALIGNED 64-int ROW gathers (measured:
+    # vmap'd dynamic slices are ~25x slower than fixed-row gathers on
+    # TPU) and the true start extracted with static selects: first a
+    # 4-way select of the 16-aligned 64-int window, then a 16-way select
+    # for the fine offset. Requires H <= 48 here (cap checked by caller);
+    # wider rescue passes use the fallback slice path.
+    R2 = pos_rows.shape[0]
+    if H <= 48:
+        r0 = jnp.clip(start >> 6, 0, R2 - 2)          # (B, S)
+        two = jnp.concatenate(
+            [pos_rows[r0], pos_rows[r0 + 1]], axis=-1
+        )  # (B, S, 128)
+        a16 = ((start & 63) >> 4)[..., None]          # 0..3
+        w64 = jnp.zeros(start.shape + (64,), dtype=jnp.int32)
+        for t in range(4):
+            w64 = jnp.where(a16 == t, two[..., 16 * t : 16 * t + 64], w64)
+        frac = (start & 15)[..., None]
+        pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
+        for t in range(16):
+            pos = jnp.where(frac == t, w64[..., t : t + H], pos)
+    else:
+        pos_flat = pos_rows.reshape(-1)
+        Hw = H + 16
+        a_start = (start & ~jnp.int32(15)).reshape(-1)
+        wide = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pos_flat, (s,), (Hw,))
+        )(a_start).reshape(start.shape + (Hw,))
+        frac = (start & 15)[..., None]
+        pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
+        for t in range(16):
+            pos = jnp.where(frac == t, wide[..., t : t + H], pos)
     j = jnp.arange(H, dtype=jnp.int32)
     in_range = j[None, None, :] < jnp.minimum(size, H)[..., None]
     offs = jnp.asarray(dp.offsets, dtype=jnp.int32)
@@ -138,9 +156,9 @@ class AlignEngine:
         packed = didx.packed if use_packed else None
         ap = self.params
 
-        def run(genome, entry_starts, pos_sorted, key_hi, key_lo, lut,
+        def run(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
                 reads, lengths):
-            arrays = (key_hi, key_lo, lut, pos_sorted, lut_bases, max_steps)
+            arrays = (key_hi, key_lo, lut, pos_rows, lut_bases, max_steps)
             # per-read mismatch budget from ACTUAL read length — the
             # reference computes MaxTotMM per read (Aligner.cpp:9084-9090)
             if ap.max_subs_per100 == 0:
@@ -222,7 +240,7 @@ class AlignEngine:
                       uniform)
         d = self.didx
         out = fn(
-            d.genome, d.entry_starts, d.pos_sorted, d.key_hi, d.key_lo, d.lut,
+            d.genome, d.entry_starts, d.pos_rows, d.key_hi, d.key_lo, d.lut,
             jnp.asarray(reads), jnp.asarray(lengths),
         )
         return out, dp
@@ -298,7 +316,7 @@ class ExtendedAligner:
         fn = self._cand_jit.get(key)
         if fn is None:
             didx = self.engine.didx
-            arrays = (didx.key_hi, didx.key_lo, didx.lut, didx.pos_sorted,
+            arrays = (didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows,
                       didx.lut_bases, didx.max_bsearch_steps)
 
             def run(reads, lengths):

@@ -25,6 +25,7 @@ class DeviceIndex:
     genome: jax.Array        # (n,) int8
     entry_starts: jax.Array  # (E+1,) int32 (single shard < 2^31 bases)
     pos_sorted: jax.Array    # (n + MAX_CAND_PER_CORE,) int32 (tail-padded)
+    pos_rows: jax.Array      # (ceil/64, 64) row view — fast aligned gathers
     key_hi: jax.Array        # (n,) uint32
     key_lo: jax.Array        # (n,) uint32
     lut: jax.Array           # (4^P+1,) int32
@@ -53,12 +54,15 @@ def to_device(idx: GenomeIndex, device=None, pack: bool = True) -> DeviceIndex:
         [idx.pos_sorted.astype(np.int32),
          np.zeros(MAX_CAND_PER_CORE, np.int32)]
     )
+    n_rows64 = len(pos_padded) // 64
+    pos_rows = pos_padded[: n_rows64 * 64].reshape(n_rows64, 64)
     max_bucket = int(np.diff(idx.lut.astype(np.int64)).max())
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
     return DeviceIndex(
         genome=put(idx.codes),
         entry_starts=put(idx.entry_starts.astype(np.int32)),
         pos_sorted=put(pos_padded),
+        pos_rows=put(pos_rows),
         key_hi=put(idx.key_hi),
         key_lo=put(idx.key_lo),
         lut=put(idx.lut.astype(np.int32)),
