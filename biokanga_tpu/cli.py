@@ -1031,9 +1031,83 @@ def cmd_kmerdist(argv):
     return 0
 
 
+def _simple_cmd(fn_name, arg_specs, result_fmt="{n} records"):
+    """Factory for thin converter subcommands over tools/converters.py."""
+
+    def cmd(argv):
+        p = argparse.ArgumentParser(prog=f"biokanga-tpu {fn_name}")
+        for flags, kw in arg_specs:
+            p.add_argument(*flags, **kw)
+        args = p.parse_args(argv)
+        from .tools import converters
+
+        fn = getattr(converters, fn_name)
+        kwargs = {k: v for k, v in vars(args).items()}
+        n = fn(**kwargs)
+        print(result_fmt.format(n=n))
+        return 0
+
+    cmd.__doc__ = f"converter: tools/converters.{fn_name}"
+    return cmd
+
+
+_IO = [(("-i", "--inpath"), dict(required=True)),
+       (("-o", "--outpath"), dict(required=True))]
+
+cmd_bed2csv = _simple_cmd("bed2csv", _IO)
+cmd_csv2bed = _simple_cmd("csv2bed", _IO)
+cmd_csv2fasta = _simple_cmd(
+    "csv2fasta", _IO + [(("--seq-col",), dict(default="seq")),
+                        (("--name-col",), dict(default="name"))])
+cmd_fasta2bed = _simple_cmd("fasta2bed", _IO)
+cmd_bedfilter = _simple_cmd(
+    "bed_filter", _IO + [(("-z", "--chrom-regex"), dict(default=None)),
+                         (("--min-len",), dict(type=int, default=0)),
+                         (("--max-len",), dict(type=int, default=None))])
+cmd_bedmerge = _simple_cmd(
+    "bed_merge", _IO + [(("-g", "--max-gap"), dict(type=int, default=0))])
+cmd_gfffilter = _simple_cmd(
+    "gff_filter", _IO + [(("-t", "--feature-types"), dict(action="append",
+                                                          default=None)),
+                         (("-r", "--attr-regex"), dict(default=None))])
+cmd_genwiggle = _simple_cmd(
+    "gen_wiggle",
+    [(("-i", "--sam-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-n", "--normalise"), dict(action="store_true")),
+     (("-s", "--span"), dict(type=int, default=1))],
+    "{n} wiggle values")
+cmd_splitmultifasta = _simple_cmd(
+    "split_multifasta",
+    [(("-i", "--inpath"), dict(required=True)),
+     (("-o", "--outdir"), dict(required=True)),
+     (("-p", "--prefix"), dict(default=""))],
+    "{n} files")
+cmd_fastafilter = _simple_cmd(
+    "fasta_filter", _IO + [(("--min-len",), dict(type=int, default=0))])
+cmd_fastatope = _simple_cmd(
+    "fasta_to_pe",
+    [(("-i", "--inpath"), dict(required=True)),
+     (("-o", "--out1"), dict(required=True)),
+     (("-O", "--out2"), dict(required=True))],
+    "{n} pairs")
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "bed2csv": cmd_bed2csv,
+    "csv2bed": cmd_csv2bed,
+    "csv2fasta": cmd_csv2fasta,
+    "fasta2bed": cmd_fasta2bed,
+    "bedfilter": cmd_bedfilter,
+    "bedmerge": cmd_bedmerge,
+    "gfffilter": cmd_gfffilter,
+    "gtffilter": cmd_gfffilter,
+    "genwiggle": cmd_genwiggle,
+    "splitmultifasta": cmd_splitmultifasta,
+    "fastafilter": cmd_fastafilter,
+    "fasta2pe": cmd_fastatope,
     "ecreads": cmd_ecreads,
     "contigs": cmd_pbcontigs,
     "eccontigs": cmd_eccontigs,
