@@ -212,6 +212,30 @@ class AlignEngine:
                 is_rc_hit = jnp.ones_like(bi, dtype=bool)
             else:
                 is_rc_hit = jnp.zeros_like(bi, dtype=bool)
+
+            # top-K equally-best loci for multi-hit assignment
+            # (AssignMultiMatches input, Aligner.cpp:5109): two-key sort
+            # by (mm, locus), lane-parallel over reads
+            K = max(1, ap.max_multi)
+            Ctot = mm_all.shape[1]
+            Bn = bi.shape[0]
+            if strand == "both":
+                rcf = jnp.broadcast_to(
+                    (jnp.arange(Ctot, dtype=jnp.int32) >= C1).astype(
+                        jnp.int32
+                    )[:, None],
+                    (Ctot, Bn),
+                )
+            else:
+                rcf = jnp.full((Ctot, Bn), int(strand == "antisense"),
+                               jnp.int32)
+            s_mm, s_loci, s_rc = jax.lax.sort(
+                (mm_all.astype(jnp.int32).T, loci_all.T, rcf),
+                dimension=0, num_keys=2,
+            )
+            ml_loci = s_loci[:K].T
+            ml_mm = s_mm[:K].T
+            ml_rc = s_rc[:K].T
             return {
                 "unique": red["unique"],
                 "any_hit": red["any_hit"],
@@ -220,6 +244,9 @@ class AlignEngine:
                 "locus": locus,
                 "is_rc": is_rc_hit,
                 "overflow": ovf,
+                "ml_loci": ml_loci,
+                "ml_mm": jnp.minimum(ml_mm, 255).astype(jnp.uint8),
+                "ml_rc": ml_rc.astype(jnp.bool_),
             }
 
         jitted = jax.jit(run)
@@ -288,7 +315,8 @@ class AlignEngine:
             sub_r, sub_l = pad_rows(reads[rows], lengths[rows])
             sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=1 << 30)
             k_n = len(rows)
-            for k in ("unique", "any_hit", "best_mm", "inst", "locus", "is_rc"):
+            for k in ("unique", "any_hit", "best_mm", "inst", "locus",
+                      "is_rc", "ml_loci", "ml_mm", "ml_rc"):
                 res[k][rows] = sub[k][:k_n]
         return res
 

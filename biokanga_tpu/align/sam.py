@@ -183,7 +183,13 @@ def write_alignments_sam(
             if unique[i]:
                 rc = bool(is_rc[i])
                 seq = codes_to_ascii(revcomp(codes) if rc else codes).decode()
-                if cigar_op is not None and cigar_op[i] != 0:
+                clip5 = int(result["clip5"][i]) if "clip5" in result else 0
+                clip3 = int(result["clip3"][i]) if "clip3" in result else 0
+                if clip5 or clip3:  # chimeric soft-clips (AdaptiveTrim)
+                    cig = (f"{clip5}S" if clip5 else "") + \
+                          f"{L - clip5 - clip3}M" + \
+                          (f"{clip3}S" if clip3 else "")
+                elif cigar_op is not None and cigar_op[i] != 0:
                     from .pipeline import cigar_for
 
                     cig = cigar_for(L, int(cigar_op[i]), int(op_len[i]),

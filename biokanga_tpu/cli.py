@@ -106,6 +106,16 @@ def cmd_align(argv: list[str]) -> int:
                         " to this distance (25..100000)")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("-F", "--log", default=None)
+    p.add_argument("-x", "--trim5", type=int, default=0)
+    p.add_argument("-y", "--trim3", type=int, default=0)
+    p.add_argument("--min-accept-len", type=int, default=0)
+    p.add_argument("-C", "--minchimericlen", type=int, default=0,
+                   help="accept chimeric flank-trimmed alignments covering"
+                        " at least this %% of the read (50..99; 0 off)")
+    p.add_argument("--stats", default=None,
+                   help="write alignment stats CSV here")
+    p.add_argument("--no-mlassign", action="store_true",
+                   help="disable multi-hit assignment clustering")
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
@@ -202,31 +212,107 @@ def cmd_align(argv: list[str]) -> int:
 
         ext = ExtendedAligner(engine, args.microindellen, args.splicejunctlen)
 
+    from .align.multihit import assign_multihits, chimeric_pass
+    from .align.reports import AlignStats
+
+    stats = AlignStats()
+    mh_loci, mh_rows = [], []   # pending multi-hit reads for assignment
+    uq_loci, uq_lens = [], []
     n_total = n_unique = n_multi = n_none = 0
     with open(args.out, "w") as out:
         first = True
         for path in args.inreads:
             for blk in read_blocks(path, block_size=args.batch_size):
+                if args.trim5 or args.trim3:
+                    blk.codes = blk.codes[:, args.trim5:]
+                    if args.trim3:
+                        blk.codes = blk.codes[:, : -args.trim3 or None]
+                    blk.lengths = np.clip(
+                        blk.lengths - args.trim5 - args.trim3, 0, None
+                    )
                 codes, lens = pad_rows(blk.codes, blk.lengths)
                 if ext is not None:
                     res = ext.align(codes, lens)
                 else:
                     res = engine.align_with_rescue(codes, lens)
+                if args.min_accept_len:
+                    res["unique"] &= lens >= args.min_accept_len
+                if args.minchimericlen:
+                    res = chimeric_pass(engine, codes, lens, res,
+                                        args.minchimericlen)
+                    stats.chimeric += int(
+                        (res.get("clip5", np.zeros(1)) > 0).sum()
+                        + (res.get("clip3", np.zeros(1)) > 0).sum()
+                    )
                 if pileup is not None:
                     pileup.add_alignments(codes, lens, res)
+                n = len(blk.names)
+                stats.add_batch(res, n)
+                u_mask = res["unique"][:n]
+                uq_loci.append(res["locus"][:n][u_mask])
+                uq_lens.append(lens[:n][u_mask])
+                if not args.no_mlassign:
+                    m_mask = res["any_hit"][:n] & ~u_mask & (
+                        res["inst"][:n] <= args.maxmulti
+                    )
+                    for ri in np.nonzero(m_mask)[0]:
+                        mh_rows.append(
+                            (blk.names[ri], blk.codes[ri, : blk.lengths[ri]],
+                             int(lens[ri]), res["ml_mm"][ri].copy(),
+                             res["ml_rc"][ri].copy())
+                        )
+                        mh_loci.append(res["ml_loci"][ri].copy())
                 write_alignments_sam(
                     out, idx.entry_names, idx.entry_starts,
                     blk.names, blk.codes, blk.lengths, res,
                     write_header=first,
                 )
                 first = False
-                n = len(blk.names)
                 u = int(res["unique"].sum())
                 h = int(res["any_hit"].sum())
                 n_total += n
                 n_unique += u
                 n_multi += h - u
                 n_none += n - h
+
+        # multi-hit assignment clustering (AssignMultiMatches role)
+        if mh_rows:
+            from .align.sam import SamRecord
+            from .seq.encode import codes_to_ascii, revcomp
+
+            uql = np.concatenate(uq_loci) if uq_loci else np.zeros(0, int)
+            uqn = np.concatenate(uq_lens) if uq_lens else np.zeros(0, int)
+            cand = np.stack(mh_loci)
+            assigned, okm = assign_multihits(
+                uql, uqn, cand, idx.total_len
+            )
+            starts = idx.entry_starts
+            lines = []
+            for mi in np.nonzero(okm)[0]:
+                name, rcodes, ln, mlmm, mlrc = mh_rows[mi]
+                locus = int(assigned[mi])
+                ent = int(np.searchsorted(starts, locus, "right")) - 1
+                kk = int(np.argmin(np.abs(cand[mi] - locus)))
+                rc = bool(mlrc[kk])
+                seq = codes_to_ascii(
+                    revcomp(rcodes) if rc else rcodes
+                ).decode()
+                lines.append(SamRecord(
+                    qname=name, flag=16 if rc else 0,
+                    rname=idx.entry_names[ent],
+                    pos=locus - int(starts[ent]) + 1, mapq=3,
+                    cigar=f"{len(rcodes)}M", seq=seq, qual="*",
+                    tags=(f"NM:i:{int(mlmm[kk])}",),
+                ).line())
+            if lines:
+                out.write("\n".join(lines) + "\n")
+            stats.multi_assigned = int(okm.sum())
+            n_unique += int(okm.sum())
+            n_multi -= int(okm.sum())
+
+    if args.stats:
+        stats.write_csv(args.stats)
+        log.info("stats written to %s", args.stats)
     log.info(
         "aligned %d reads: %d unique (%.2f%%), %d multi, %d unaligned in %.1fs"
         " (%.0f reads/s)",
