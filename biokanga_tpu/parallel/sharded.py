@@ -276,3 +276,61 @@ def build_sharded_align_fn(
         )
 
     return step
+
+
+def build_sharded_pileup_fn(mesh: Mesh, sidx: ShardedIndex):
+    """SPMD SNP pileup: each 'dp' shard scatter-adds its local accepted
+    alignments into per-locus count planes, then the planes merge with a
+    psum over 'dp' — the collective replacement for the reference's
+    per-thread pileup accumulation + serialised merge (ProcessSNPs,
+    Aligner.cpp:7609; this is BASELINE config 3's "SNP calling with psum
+    pileup merge").
+
+    Takes (loci (B,), aligned seqs (B, L), lengths (B,), accept (B,))
+    sharded over 'dp'; returns replicated (n, 4) counts + match/mismatch
+    planes.
+    """
+    from jax import shard_map
+
+    genome = sidx.genome
+    n = sidx.total_len
+
+    def local(genome, loci, seqs, lengths, accept):
+        B, L = seqs.shape
+        pos = loci[:, None] + jnp.arange(L, dtype=jnp.int32)
+        live = (
+            accept[:, None]
+            & (jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None])
+            & (seqs < 4) & (pos >= 0) & (pos < n)
+        )
+        posc = jnp.clip(pos, 0, n - 1)
+        base = jnp.clip(seqs, 0, 3).astype(jnp.int32)
+        counts = jnp.zeros((n, 4), jnp.int32).at[
+            posc.ravel(), base.ravel()
+        ].add(live.ravel().astype(jnp.int32))
+        ref = genome[posc]
+        is_mm = (base != ref) & live
+        match = jnp.zeros(n, jnp.int32).at[posc.ravel()].add(
+            (live & ~is_mm).ravel().astype(jnp.int32)
+        )
+        mismatch = jnp.zeros(n, jnp.int32).at[posc.ravel()].add(
+            is_mm.ravel().astype(jnp.int32)
+        )
+        counts = jax.lax.psum(counts, "dp")
+        match = jax.lax.psum(match, "dp")
+        mismatch = jax.lax.psum(mismatch, "dp")
+        return counts, match, mismatch
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp", None), P("dp"), P("dp")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(loci, seqs, lengths, accept):
+        return mapped(genome, loci, seqs, lengths, accept)
+
+    return step
