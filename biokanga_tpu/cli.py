@@ -36,10 +36,15 @@ def cmd_index(argv: list[str]) -> int:
     """`biokanga index` parity: genome FASTA -> on-disk index
     (reference front-end biokanga/kangax.cpp:59)."""
     p = argparse.ArgumentParser(prog="biokanga-tpu index")
-    p.add_argument("-i", "--infasta", action="append", required=True,
+    p.add_argument("-i", "--infasta", action="append", default=None,
                    help="input FASTA file(s), gzip ok (repeatable)")
     p.add_argument("-o", "--out", required=True, help="output index file (.npz)")
     p.add_argument("-r", "--ref", default="", help="reference species/tag")
+    p.add_argument("-m", "--mode", type=int, default=0, choices=(0, 2),
+                   help="0 standard; 2 synthetic pseudorandom genome "
+                        "benchmark (kangax -m2 role)")
+    p.add_argument("-s", "--synthetic-mbp", type=int, default=100,
+                   help="mode 2: synthetic genome size in Mbp")
     p.add_argument("--lut-bases", type=int, default=12)
     p.add_argument("-q", "--sumrslts", default=None,
                    help="log experiment/params/results to this SQLite DB")
@@ -47,9 +52,20 @@ def cmd_index(argv: list[str]) -> int:
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
-    from .index.build import build_index_from_fasta, save_index
+    from .index.build import build_index, build_index_from_fasta, save_index
 
-    idx = build_index_from_fasta(args.infasta, lut_bases=args.lut_bases)
+    if args.mode == 2:
+        from .sim.simreads import random_genome
+
+        nbp = args.synthetic_mbp * 1_000_000
+        seqs = random_genome([("synth", nbp)], seed=1)
+        log.info("synthetic genome: %d Mbp (RAM-only benchmark mode)",
+                 args.synthetic_mbp)
+        idx = build_index(seqs, lut_bases=args.lut_bases)
+    else:
+        if not args.infasta:
+            p.error("-i/--infasta required unless -m2")
+        idx = build_index_from_fasta(args.infasta, lut_bases=args.lut_bases)
     log.info(
         "indexed %d entries, %d bp total in %.1fs",
         idx.num_entries, idx.total_len, sw.mark("build"),
@@ -1179,9 +1195,77 @@ cmd_fastatope = _simple_cmd(
     "{n} pairs")
 
 
+def cmd_genzygosity(argv):
+    """`genzygosity` tool parity: chrom-vs-chrom K-mer sharing matrix."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu genzygosity")
+    p.add_argument("-I", "--sfx", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-k", "--kmerlen", type=int, default=20)
+    args = p.parse_args(argv)
+    from .index.build import load_index
+    from .tools.zygosity import write_zygosity_csv, zygosity_matrix
+
+    idx = load_index(args.sfx)
+    M, totals = zygosity_matrix(idx, K=args.kmerlen)
+    write_zygosity_csv(args.out, idx.entry_names, M)
+    print(f"{len(idx.entry_names)}x{len(idx.entry_names)} zygosity matrix")
+    return 0
+
+
+def cmd_pescaffold(argv):
+    """`biokanga pescaffold` parity (CPEScaffold, PEScaffold.cpp)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu pescaffold")
+    p.add_argument("-i", "--pe1sam", required=True)
+    p.add_argument("-u", "--pe2sam", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-votes", type=int, default=2)
+    args = p.parse_args(argv)
+    from .tools.pescaffold import pe_scaffold, write_pescaffold_csv
+
+    paths = pe_scaffold(args.pe1sam, args.pe2sam, args.min_votes)
+    write_pescaffold_csv(args.out, paths)
+    joined = sum(1 for x in paths if len(x) > 1)
+    print(f"{len(paths)} scaffold paths ({joined} multi-contig)")
+    return 0
+
+
+def cmd_alignsbs(argv):
+    """`biokanga alignsbs` parity (CAlignsBootstrap)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu alignsbs")
+    p.add_argument("-a", "--sama", required=True)
+    p.add_argument("-b", "--samb", required=True)
+    p.add_argument("-B", "--bed", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-n", "--iterations", type=int, default=1000)
+    p.add_argument("--no-replacement", action="store_true")
+    args = p.parse_args(argv)
+    import numpy as _np
+
+    from .seq.annotations import read_bed
+    from .tools.expression import map_loci_to_features, read_sam_loci
+    from .tools.zygosity import aligns_bootstrap
+
+    feats = read_bed(args.bed)
+    ca, _ = map_loci_to_features(read_sam_loci(args.sama), feats)
+    cb, _ = map_loci_to_features(read_sam_loci(args.samb), feats)
+    obs, pvals = aligns_bootstrap(
+        ca, cb, iterations=args.iterations,
+        with_replacement=not args.no_replacement,
+    )
+    with open(args.out, "w") as f:
+        f.write('"Feature","CntsA","CntsB","ObsDiff","PValue"\n')
+        for ft, a_, b_, o, pv in zip(feats, ca, cb, obs, pvals):
+            f.write(f'"{ft.name}",{int(a_)},{int(b_)},{o:.6g},{pv:.4f}\n')
+    print(f"bootstrapped {len(feats)} features x {args.iterations} iters")
+    return 0
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
+    "genzygosity": cmd_genzygosity,
+    "pescaffold": cmd_pescaffold,
+    "alignsbs": cmd_alignsbs,
     "bed2csv": cmd_bed2csv,
     "csv2bed": cmd_csv2bed,
     "csv2fasta": cmd_csv2fasta,
