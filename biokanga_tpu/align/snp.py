@@ -203,6 +203,96 @@ def call_snps(
     return accepted
 
 
+class HaplotypeTracker:
+    """Collects accepted alignments so DiSNP/TriSNP haplotype counts can
+    be derived after SNP calling (reference: the DiSNP/TriSNP emission in
+    OutputSNPs, Aligner.cpp:7135+/9741 — joint base combinations of reads
+    covering 2 or 3 accepted SNP loci within read range)."""
+
+    def __init__(self):
+        self.loci: list[np.ndarray] = []
+        self.lens: list[np.ndarray] = []
+        self.seqs: list[np.ndarray] = []
+
+    def add_alignments(self, reads, lengths, result):
+        from ..seq.encode import revcomp
+
+        acc = np.asarray(result["unique"])
+        if not acc.any():
+            return
+        rows = np.nonzero(acc)[0]
+        seqs = reads[rows].copy()
+        for j, i in enumerate(rows):
+            if result["is_rc"][i]:
+                L = int(lengths[i])
+                seqs[j, :L] = revcomp(reads[i, :L])
+        self.loci.append(np.asarray(result["locus"])[rows].astype(np.int64))
+        self.lens.append(np.asarray(lengths)[rows].astype(np.int64))
+        self.seqs.append(seqs)
+
+    def haplotypes(self, calls: list["SNPCall"], entry_names, entry_starts,
+                   order: int = 2):
+        """Joint base counts at consecutive SNP pairs (order=2, DiSNP) or
+        triples (order=3, TriSNP) within read range."""
+        if not self.loci or len(calls) < order:
+            return []
+        starts = np.asarray(entry_starts)
+        name_to_e = {n: i for i, n in enumerate(entry_names)}
+        snp_abs = np.array(
+            [starts[name_to_e[c.chrom]] + c.loci for c in calls], np.int64
+        )
+        o = np.argsort(snp_abs)
+        snp_abs = snp_abs[o]
+        calls_s = [calls[i] for i in o]
+
+        groups = []
+        for i in range(len(calls_s) - order + 1):
+            span = snp_abs[i + order - 1] - snp_abs[i]
+            if span < 512:  # within any plausible read span
+                groups.append(tuple(range(i, i + order)))
+
+        loci = np.concatenate(self.loci)
+        lens = np.concatenate(self.lens)
+        seqs = np.concatenate(self.seqs, axis=0)
+        out = []
+        for g in groups:
+            g_abs = snp_abs[list(g)]
+            lo, hi = g_abs[0], g_abs[-1]
+            cover = (loci <= lo) & (loci + lens > hi)
+            rows = np.nonzero(cover)[0]
+            if len(rows) == 0:
+                continue
+            combos: dict[str, int] = {}
+            for r in rows:
+                bases = []
+                ok = True
+                for ga in g_abs:
+                    off = int(ga - loci[r])
+                    b = int(seqs[r, off]) if off < lens[r] else 4
+                    if b >= 4:
+                        ok = False
+                        break
+                    bases.append("ACGT"[b])
+                if ok:
+                    key = "".join(bases)
+                    combos[key] = combos.get(key, 0) + 1
+            if combos:
+                out.append((tuple(calls_s[i] for i in g), combos))
+        return out
+
+
+def write_haplotypes_csv(path, haps, order=2):
+    label = "DiSNP" if order == 2 else "TriSNP"
+    with open(path, "w") as f:
+        f.write(f'"{label}_ID","Chrom","Loci","Haplotype","Count"\n')
+        hid = 0
+        for snps, combos in haps:
+            hid += 1
+            lstr = "|".join(str(s.loci) for s in snps)
+            for hap, cnt in sorted(combos.items(), key=lambda x: -x[1]):
+                f.write(f'{hid},"{snps[0].chrom}","{lstr}","{hap}",{cnt}\n')
+
+
 _B2A = "ACGTN"
 
 

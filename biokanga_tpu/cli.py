@@ -102,6 +102,10 @@ def cmd_align(argv: list[str]) -> int:
     p.add_argument("-O", "--snpfile", default=None,
                    help="call SNPs and write reference-layout CSV here")
     p.add_argument("--snpvcf", default=None, help="also write SNPs as VCF")
+    p.add_argument("--disnp", default=None,
+                   help="write DiSNP haplotype CSV here (needs -O)")
+    p.add_argument("--trisnp", default=None,
+                   help="write TriSNP haplotype CSV here (needs -O)")
     p.add_argument("-q", "--sumrslts", default=None,
                    help="log experiment/params/results to this SQLite DB")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
@@ -217,10 +221,13 @@ def cmd_align(argv: list[str]) -> int:
         return 0
 
     pileup = None
+    hap = None
     if args.snpfile:
-        from .align.snp import PileupAccumulator
+        from .align.snp import HaplotypeTracker, PileupAccumulator
 
         pileup = PileupAccumulator(didx)
+        if args.disnp or args.trisnp:
+            hap = HaplotypeTracker()
 
     ext = None
     if args.microindellen or args.splicejunctlen:
@@ -262,6 +269,8 @@ def cmd_align(argv: list[str]) -> int:
                     )
                 if pileup is not None:
                     pileup.add_alignments(codes, lens, res)
+                    if hap is not None:
+                        hap.add_alignments(codes, lens, res)
                 n = len(blk.names)
                 stats.add_batch(res, n)
                 u_mask = res["unique"][:n]
@@ -350,6 +359,21 @@ def cmd_align(argv: list[str]) -> int:
             ),
         )
         write_snps_csv(args.snpfile, calls)
+        if hap is not None:
+            from .align.snp import write_haplotypes_csv
+
+            if args.disnp:
+                write_haplotypes_csv(
+                    args.disnp,
+                    hap.haplotypes(calls, idx.entry_names, idx.entry_starts, 2),
+                    order=2,
+                )
+            if args.trisnp:
+                write_haplotypes_csv(
+                    args.trisnp,
+                    hap.haplotypes(calls, idx.entry_names, idx.entry_starts, 3),
+                    order=3,
+                )
         if args.snpvcf:
             write_snps_vcf(args.snpvcf, calls, idx.entry_names,
                            np.diff(idx.entry_starts))

@@ -77,6 +77,10 @@ def simulate_reads(
     weights = np.maximum(usable + 1, 0).astype(np.float64)
     weights /= weights.sum()
 
+    if not pe and max_subs_per_read is None:
+        return _simulate_se_fast(seqs, num_reads, read_len, sub_rate,
+                                 strand, rng, weights)
+
     names: list[str] = []
     rows: list[np.ndarray] = []
     truths: list[SimReadTruth] = []
@@ -155,6 +159,51 @@ def simulate_reads(
 
     codes = np.stack(rows).astype(np.int8)
     return names, codes, truths
+
+
+def _simulate_se_fast(seqs, n, L, sub_rate, strand, rng, weights):
+    """Vectorised SE simulation (no per-read python loop) — required for
+    multi-hundred-thousand-read benchmark sets."""
+    E = len(seqs)
+    ei = rng.choice(E, size=n, p=weights)
+    lens = np.array([len(s) for _, s in seqs], np.int64)
+    starts0 = (rng.random(n) * np.maximum(lens[ei] - L + 1, 1)).astype(
+        np.int64
+    )
+    # windows from the concatenation
+    offs = np.zeros(E + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    cat = np.concatenate([s for _, s in seqs])
+    idx = (offs[ei] + starts0)[:, None] + np.arange(L)[None, :]
+    reads = cat[idx].astype(np.int8)
+
+    if strand == "both":
+        minus = rng.random(n) < 0.5
+    else:
+        minus = np.full(n, strand == "-")
+    if minus.any():
+        rc = np.where(reads[minus] >= 4, reads[minus], 3 - reads[minus])
+        reads[minus] = rc[:, ::-1]
+
+    nsub = np.zeros(n, np.int64)
+    if sub_rate > 0:
+        mask = rng.random((n, L)) < sub_rate
+        delta = rng.integers(1, 4, size=(n, L))
+        reads = np.where(
+            mask & (reads < 4), (reads + delta) % 4, reads
+        ).astype(np.int8)
+        nsub = mask.sum(axis=1)
+
+    names, truths = [], []
+    for i in range(n):
+        t = SimReadTruth(
+            readnum=i, chrom=seqs[ei[i]][0], start=int(starts0[i]) + 1,
+            end=int(starts0[i]) + L, length=L,
+            strand="-" if minus[i] else "+", subs=int(nsub[i]),
+        )
+        names.append(t.descriptor())
+        truths.append(t)
+    return names, reads, truths
 
 
 def random_genome(
