@@ -136,6 +136,13 @@ def cmd_align(argv: list[str]) -> int:
                    help="write alignment stats CSV here")
     p.add_argument("--no-mlassign", action="store_true",
                    help="disable multi-hit assignment clustering")
+    p.add_argument("-k", "--pcrdedupe", type=int, default=0,
+                   help="demote PCR duplicates at identical (locus,strand)"
+                        " beyond this many copies (0 off)")
+    p.add_argument("-Y", "--priorityregionbed", default=None,
+                   help="only accept hits overlapping these BED regions")
+    p.add_argument("--peinsertdist", default=None,
+                   help="PE mode: write insert-size distribution CSV here")
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
@@ -177,6 +184,9 @@ def cmd_align(argv: list[str]) -> int:
                 pair_same_strand=args.pairstrand,
             ),
         )
+        from .align.reports import AlignStats as _AS
+
+        pe_stats = _AS()
         n_pairs = n_proper = 0
         with open(args.out, "w") as out:
             first = True
@@ -207,6 +217,11 @@ def cmd_align(argv: list[str]) -> int:
                     first = False
                     n_pairs += nb
                     n_proper += int(res["proper"][:nb].sum())
+                    if args.peinsertdist:
+                        pe_stats.add_inserts(res["insert"][:nb],
+                                             res["proper"][:nb])
+        if args.peinsertdist:
+            pe_stats.write_csv(args.peinsertdist)
         log.info(
             "paired %d pairs: %d proper (%.2f%%) in %.1fs",
             n_pairs, n_proper, 100.0 * n_proper / max(n_pairs, 1), sw.elapsed(),
@@ -238,6 +253,12 @@ def cmd_align(argv: list[str]) -> int:
     from .align.multihit import assign_multihits, chimeric_pass
     from .align.reports import AlignStats
 
+    prio = None
+    if args.priorityregionbed:
+        from .align.postpass import PriorityRegionFilter
+
+        prio = PriorityRegionFilter(args.priorityregionbed,
+                                    idx.entry_names, idx.entry_starts)
     stats = AlignStats()
     mh_loci, mh_rows = [], []   # pending multi-hit reads for assignment
     uq_loci, uq_lens = [], []
@@ -267,6 +288,12 @@ def cmd_align(argv: list[str]) -> int:
                         (res.get("clip5", np.zeros(1)) > 0).sum()
                         + (res.get("clip3", np.zeros(1)) > 0).sum()
                     )
+                if args.pcrdedupe:
+                    from .align.postpass import reduce_pcr_duplicates
+
+                    reduce_pcr_duplicates(res, lens, keep=args.pcrdedupe)
+                if prio is not None:
+                    prio.apply(res, lens)
                 if pileup is not None:
                     pileup.add_alignments(codes, lens, res)
                     if hap is not None:
@@ -415,15 +442,24 @@ def cmd_simreads(argv: list[str]) -> int:
     p.add_argument("--insert-min", type=int, default=200)
     p.add_argument("--insert-max", type=int, default=500)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("-H", "--hammings", default=None,
+                   help=".hmg.npz from uhamming; read descriptors carry "
+                        "the source window's min-Hamming")
     args = p.parse_args(argv)
     from .seq.fasta import read_seqs, write_fasta, write_fastq
     from .sim.simreads import simulate_reads
 
     seqs = [(r.name, r.codes) for r in read_seqs(args.infasta)]
+    hmg = None
+    if args.hammings:
+        from .tools.uhamming import load_hmg
+
+        hmg, _, _, _ = load_hmg(args.hammings)
     names, codes, truths = simulate_reads(
         seqs, args.numreads, read_len=args.readlen,
         sub_rate=args.sub_rate, seed=args.seed, pe=args.pe,
         insert_min=args.insert_min, insert_max=args.insert_max,
+        hammings=hmg,
     )
 
     def write(path, recs):

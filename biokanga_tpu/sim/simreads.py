@@ -29,11 +29,13 @@ class SimReadTruth:
     strand: str  # '+' or '-'
     subs: int
     indels: int = 0
+    hamming: int = 0   # min-Hamming of the source window (from -H .hmg)
 
     def descriptor(self) -> str:
         return (
             f"lcl|usimreads|{self.readnum:08d}|{self.chrom}|{self.start}"
-            f"|{self.end}|{self.length}|{self.strand}|0|{self.subs}|{self.indels}"
+            f"|{self.end}|{self.length}|{self.strand}|{self.hamming}"
+            f"|{self.subs}|{self.indels}"
         )
 
     @staticmethod
@@ -47,6 +49,7 @@ class SimReadTruth:
             end=int(f[5]),
             length=int(f[6]),
             strand=f[7],
+            hamming=int(f[8]),
             subs=int(f[9]),
             indels=int(f[10]),
         )
@@ -63,6 +66,7 @@ def simulate_reads(
     pe: bool = False,
     insert_min: int = 200,
     insert_max: int = 500,
+    hammings: np.ndarray | None = None,  # per-absolute-locus min-Hamming
 ):
     """Generate reads. Returns (names, codes (N,L) int8, truths list).
 
@@ -79,7 +83,7 @@ def simulate_reads(
 
     if not pe and max_subs_per_read is None:
         return _simulate_se_fast(seqs, num_reads, read_len, sub_rate,
-                                 strand, rng, weights)
+                                 strand, rng, weights, hammings=hammings)
 
     names: list[str] = []
     rows: list[np.ndarray] = []
@@ -161,7 +165,8 @@ def simulate_reads(
     return names, codes, truths
 
 
-def _simulate_se_fast(seqs, n, L, sub_rate, strand, rng, weights):
+def _simulate_se_fast(seqs, n, L, sub_rate, strand, rng, weights,
+                      hammings=None):
     """Vectorised SE simulation (no per-read python loop) — required for
     multi-hundred-thousand-read benchmark sets."""
     E = len(seqs)
@@ -194,12 +199,20 @@ def _simulate_se_fast(seqs, n, L, sub_rate, strand, rng, weights):
         ).astype(np.int8)
         nsub = mask.sum(axis=1)
 
+    abs_start = offs[ei] + starts0
+    if hammings is not None:
+        hvals = np.asarray(hammings)[np.clip(abs_start, 0,
+                                             len(hammings) - 1)]
+        hvals = np.where(hvals >= 255, 0, hvals)
+    else:
+        hvals = np.zeros(n, np.int64)
     names, truths = [], []
     for i in range(n):
         t = SimReadTruth(
             readnum=i, chrom=seqs[ei[i]][0], start=int(starts0[i]) + 1,
             end=int(starts0[i]) + L, length=L,
             strand="-" if minus[i] else "+", subs=int(nsub[i]),
+            hamming=int(hvals[i]),
         )
         names.append(t.descriptor())
         truths.append(t)
