@@ -1193,6 +1193,96 @@ def cmd_kmerdist(argv):
     return 0
 
 
+def cmd_swservice(argv):
+    """`pacbiokanga swservice` parity (CPBSWService, PBSWService.cpp:35,282).
+
+    The reference runs a provider daemon that negotiates a BKS TCP session
+    and executes SW jobs shipped from a requester (BKSProvider.cpp).  The
+    TPU-native service is SPMD: a job batch (probe/target FASTA pairs) is
+    sharded over the device mesh 'dp' axis and executed as one banded-SW
+    dispatch (parallel/swservice.py) — transport, negotiation and keepalive
+    failure handling collapse into jax.sharding placement.
+    """
+    p = argparse.ArgumentParser(prog="biokanga-tpu swservice")
+    p.add_argument("-a", "--probes", required=True, help="probe FASTA")
+    p.add_argument("-b", "--targets", required=True, help="target FASTA")
+    p.add_argument("-o", "--out", required=True, help="scores CSV")
+    p.add_argument("--sw-band", type=int, default=96)
+    p.add_argument("--pairs", default="zip", choices=("zip", "cross"),
+                   help="pair probes/targets 1:1 (zip) or all-vs-all")
+    p.add_argument("-n", "--ndevices", type=int, default=None)
+    args = p.parse_args(argv)
+    import numpy as _np
+
+    from .parallel.swservice import SWJobBatch, make_sw_mesh, run_sw_jobs
+    from .seq.fasta import read_seqs
+
+    probes = [(r.name, r.codes) for r in read_seqs(args.probes)]
+    targets = [(r.name, r.codes) for r in read_seqs(args.targets)]
+    if args.pairs == "zip":
+        if len(probes) != len(targets):
+            print("zip pairing needs equal probe/target counts",
+                  file=sys.stderr)
+            return 2
+        pairs = list(zip(range(len(probes)), range(len(targets))))
+    else:
+        pairs = [(i, j) for i in range(len(probes))
+                 for j in range(len(targets))]
+    La = max(len(c) for _, c in probes)
+    Lb = max(len(c) for _, c in targets)
+    B = len(pairs)
+    a = _np.full((B, La), 4, _np.int8)
+    b = _np.full((B, Lb), 4, _np.int8)
+    alen = _np.zeros(B, _np.int32)
+    blen = _np.zeros(B, _np.int32)
+    for r, (i, j) in enumerate(pairs):
+        pa, pb = probes[i][1], targets[j][1]
+        a[r, : len(pa)] = pa
+        b[r, : len(pb)] = pb
+        alen[r], blen[r] = len(pa), len(pb)
+    mesh = make_sw_mesh(args.ndevices)
+    out = run_sw_jobs(
+        mesh, SWJobBatch(a, b, alen, blen, _np.zeros(B, _np.int32)),
+        W=args.sw_band,
+    )
+    with open(args.out, "w") as f:
+        f.write('"Probe","Target","Score","EndProbeOfs","EndTargOfs"\n')
+        for r, (i, j) in enumerate(pairs):
+            f.write(f'"{probes[i][0]}","{targets[j][0]}",'
+                    f'{int(out["score"][r])},{int(out["best_i"][r])},'
+                    f'{int(out["best_k"][r])}\n')
+    print(f"swservice: {B} SW jobs over {mesh.shape['dp']} devices")
+    return 0
+
+
+def cmd_pbfilter(argv):
+    """`pacbiokanga filter` parity (CPBFilter): retained-SMRTbell removal."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu pbfilter")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-subread-len", type=int, default=500)
+    p.add_argument("--max-adapter-mm", type=int, default=9)
+    p.add_argument("--trim-ends", type=int, default=0)
+    args = p.parse_args(argv)
+    from .pacbio.pbfilter import PBFilterParams, pb_filter
+    from .seq.fasta import read_seqs, write_fasta
+
+    reads = []
+    for path in args.inreads:
+        reads.extend((r.name, r.codes) for r in read_seqs(path))
+    kept, st = pb_filter(
+        reads,
+        PBFilterParams(min_subread_len=args.min_subread_len,
+                       max_adapter_mm=args.max_adapter_mm,
+                       trim_ends=args.trim_ends),
+    )
+    write_fasta(args.out, kept)
+    print(f"pbfilter: {st.reads_in} reads in, {st.reads_with_adapter} with "
+          f"retained adapter, {st.subreads_out} subreads out "
+          f"({st.bases_out}/{st.bases_in} bases)")
+    return 0
+
+
 def _simple_cmd(fn_name, arg_specs, result_fmt="{n} records"):
     """Factory for thin converter subcommands over tools/converters.py."""
 
@@ -1339,6 +1429,8 @@ SUBCOMMANDS = {
     "fastafilter": cmd_fastafilter,
     "fasta2pe": cmd_fastatope,
     "ecreads": cmd_ecreads,
+    "swservice": cmd_swservice,
+    "pbfilter": cmd_pbfilter,
     "contigs": cmd_pbcontigs,
     "eccontigs": cmd_eccontigs,
     "kmerdist": cmd_kmerdist,
