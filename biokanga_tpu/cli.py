@@ -153,6 +153,14 @@ def cmd_align(argv: list[str]) -> int:
     from .index.build import load_index
     from .index.device import to_device
     from .seq.fasta import read_blocks
+    from .seq.rds import is_rds, read_rds_blocks, rds_info
+
+    def _input_blocks(path, mate=None):
+        """FASTA/FASTQ or packed .rds container (Aligner.cpp:8312 parity)."""
+        if is_rds(path):
+            return read_rds_blocks(path, block_size=args.batch_size,
+                                   mate=mate)
+        return read_blocks(path, block_size=args.batch_size)
 
     idx = load_index(args.sfx)
     didx = to_device(idx)
@@ -171,6 +179,13 @@ def cmd_align(argv: list[str]) -> int:
         batch_size=args.batch_size,
     )
     engine = AlignEngine(didx, params)
+
+    # PE-interleaved rds container with no -u: split mates internally
+    pe_mates = None
+    if (not args.pair and len(args.inreads) == 1
+            and is_rds(args.inreads[0]) and rds_info(args.inreads[0]).is_pe):
+        args.pair = list(args.inreads)
+        pe_mates = (0, 1)
 
     if args.pair:
         from .align.pe import PEAligner, PEParams
@@ -191,9 +206,10 @@ def cmd_align(argv: list[str]) -> int:
         with open(args.out, "w") as out:
             first = True
             for p1, p2 in zip(args.inreads, args.pair):
+                m1, m2 = pe_mates if pe_mates else (None, None)
                 for blk1, blk2 in zip(
-                    read_blocks(p1, block_size=args.batch_size),
-                    read_blocks(p2, block_size=args.batch_size),
+                    _input_blocks(p1, mate=m1),
+                    _input_blocks(p2, mate=m2),
                 ):
                     r1, l1 = pad_rows(blk1.codes, blk1.lengths)
                     r2, l2 = pad_rows(blk2.codes, blk2.lengths)
@@ -266,7 +282,7 @@ def cmd_align(argv: list[str]) -> int:
     with open(args.out, "w") as out:
         first = True
         for path in args.inreads:
-            for blk in read_blocks(path, block_size=args.batch_size):
+            for blk in _input_blocks(path):
                 if args.trim5 or args.trim3:
                     blk.codes = blk.codes[:, args.trim5:]
                     if args.trim3:
@@ -1193,6 +1209,94 @@ def cmd_kmerdist(argv):
     return 0
 
 
+def cmd_kangar(argv):
+    """`kangar` tool parity (kangar/kangar.cpp): raw-read preprocessor —
+    FASTA/FASTQ -> packed `.rds` container (CProcRawReads V5/V6 role,
+    libbiokanga/ProcRawReads.h:53,75)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kangar")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-u", "--pair", action="append", default=None,
+                   help="PE mate files; writes a PE-interleaved container")
+    p.add_argument("-o", "--out", required=True, help="output .rds.npz")
+    p.add_argument("-x", "--trim5", type=int, default=0)
+    p.add_argument("-y", "--trim3", type=int, default=0)
+    p.add_argument("--max-ns", type=int, default=None,
+                   help="drop reads with more than this many N bases")
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs
+    from .seq.rds import write_rds
+
+    def prep(codes):
+        c = codes[args.trim5: len(codes) - args.trim3 or None]
+        if args.max_ns is not None and int((c == 4).sum()) > args.max_ns:
+            return None
+        return c
+
+    def gen():
+        if args.pair:
+            for p1, p2 in zip(args.inreads, args.pair):
+                for r1, r2 in zip(read_seqs(p1), read_seqs(p2)):
+                    c1, c2 = prep(r1.codes), prep(r2.codes)
+                    if c1 is None or c2 is None:
+                        continue
+                    yield (r1.name, c1)
+                    yield (r2.name, c2)
+        else:
+            for path in args.inreads:
+                for r in read_seqs(path):
+                    c = prep(r.codes)
+                    if c is not None:
+                        yield (r.name, c)
+
+    n = write_rds(args.out, gen(), pe_interleaved=bool(args.pair))
+    print(f"kangar: {n} reads packed -> {args.out}"
+          + (" (PE interleaved)" if args.pair else ""))
+    return 0
+
+
+def cmd_filterreads(argv):
+    """`filterreads` tool parity (filterreads/): filter a packed `.rds`
+    container by length / N-count / exact-duplicate status."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu filterreads")
+    p.add_argument("-i", "--inrds", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--max-len", type=int, default=None)
+    p.add_argument("--max-ns", type=int, default=None)
+    p.add_argument("--dedupe", action="store_true",
+                   help="drop exact duplicate sequences (keep first)")
+    p.add_argument("-x", "--trim5", type=int, default=0)
+    p.add_argument("-y", "--trim3", type=int, default=0)
+    args = p.parse_args(argv)
+    from .seq.rds import FLAG_PE2, RDSFile, write_rds
+
+    f = RDSFile(args.inrds)
+    seen: set[bytes] = set()
+    kept = dropped = 0
+    out_recs = []
+    for name, codes, fl in f.records():
+        c = codes[args.trim5: len(codes) - args.trim3 or None]
+        ok = len(c) >= args.min_len
+        if args.max_len is not None:
+            ok &= len(c) <= args.max_len
+        if ok and args.max_ns is not None:
+            ok = int((c == 4).sum()) <= args.max_ns
+        if ok and args.dedupe:
+            key = c.tobytes()
+            if key in seen:
+                ok = False
+            else:
+                seen.add(key)
+        if ok:
+            out_recs.append((name, c, fl))
+            kept += 1
+        else:
+            dropped += 1
+    write_rds(args.out, out_recs)
+    print(f"filterreads: {kept} kept, {dropped} dropped -> {args.out}")
+    return 0
+
+
 def cmd_swservice(argv):
     """`pacbiokanga swservice` parity (CPBSWService, PBSWService.cpp:35,282).
 
@@ -1431,6 +1535,8 @@ SUBCOMMANDS = {
     "ecreads": cmd_ecreads,
     "swservice": cmd_swservice,
     "pbfilter": cmd_pbfilter,
+    "kangar": cmd_kangar,
+    "filterreads": cmd_filterreads,
     "contigs": cmd_pbcontigs,
     "eccontigs": cmd_eccontigs,
     "kmerdist": cmd_kmerdist,
