@@ -1387,23 +1387,25 @@ def cmd_pbfilter(argv):
     return 0
 
 
-def _simple_cmd(fn_name, arg_specs, result_fmt="{n} records"):
-    """Factory for thin converter subcommands over tools/converters.py."""
+def _simple_cmd(fn_name, arg_specs, result_fmt="{n} records",
+                module="converters"):
+    """Factory for thin converter subcommands over tools/ modules."""
 
     def cmd(argv):
         p = argparse.ArgumentParser(prog=f"biokanga-tpu {fn_name}")
         for flags, kw in arg_specs:
             p.add_argument(*flags, **kw)
         args = p.parse_args(argv)
-        from .tools import converters
+        import importlib
 
-        fn = getattr(converters, fn_name)
+        mod = importlib.import_module(f".tools.{module}", __package__)
+        fn = getattr(mod, fn_name)
         kwargs = {k: v for k, v in vars(args).items()}
         n = fn(**kwargs)
         print(result_fmt.format(n=n))
         return 0
 
-    cmd.__doc__ = f"converter: tools/converters.{fn_name}"
+    cmd.__doc__ = f"converter: tools/{module}.{fn_name}"
     return cmd
 
 
@@ -1447,6 +1449,41 @@ cmd_fastatope = _simple_cmd(
      (("-o", "--out1"), dict(required=True)),
      (("-O", "--out2"), dict(required=True))],
     "{n} pairs")
+cmd_psl2csv = _simple_cmd("psl2csv", _IO, "{n} PSL rows", "converters2")
+cmd_blast2csv = _simple_cmd("blast2csv", _IO, "{n} BLAST rows",
+                            "converters2")
+cmd_csv2stats = _simple_cmd("csv2stats", _IO, "{n} numeric columns",
+                            "converters2")
+cmd_csvfilter = _simple_cmd(
+    "csvfilter",
+    _IO + [(("-c", "--column"), dict(required=True)),
+           (("-p", "--op"), dict(default="eq",
+                                 choices=("eq", "ne", "lt", "le", "gt",
+                                          "ge", "match"))),
+           (("-V", "--value"), dict(required=True))],
+    "{n} rows kept", "converters2")
+cmd_csvmerge = _simple_cmd(
+    "csvmerge",
+    [(("-i", "--inpaths"), dict(action="append", required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-k", "--key"), dict(required=True))],
+    "{n} merged keys", "converters2")
+cmd_csv2feat = _simple_cmd("csv2feat", _IO, "{n} features", "converters2")
+cmd_fasta2dist = _simple_cmd(
+    "fasta2dist", _IO + [(("-k", "--kmerlen"), dict(type=int, default=4))],
+    "{n} x {n} distance matrix", "converters2")
+cmd_agp2genome = _simple_cmd(
+    "agp2genome",
+    [(("-a", "--agp-path"), dict(required=True)),
+     (("-c", "--contigs-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True))],
+    "{n} assembled objects", "converters2")
+cmd_dmpbioseq = _simple_cmd(
+    "dmpbioseq", _IO + [(("-n", "--max-seqs"), dict(type=int, default=None))],
+    "{n} sequences dumped", "converters2")
+cmd_hammingdist = _simple_cmd(
+    "hamming_dist", _IO + [(("-w", "--window"), dict(type=int, default=0))],
+    "{n} rows", "converters2")
 
 
 def cmd_genzygosity(argv):
@@ -1532,6 +1569,16 @@ SUBCOMMANDS = {
     "splitmultifasta": cmd_splitmultifasta,
     "fastafilter": cmd_fastafilter,
     "fasta2pe": cmd_fastatope,
+    "psl2csv": cmd_psl2csv,
+    "blast2csv": cmd_blast2csv,
+    "csv2stats": cmd_csv2stats,
+    "csvfilter": cmd_csvfilter,
+    "csvmerge": cmd_csvmerge,
+    "csv2feat": cmd_csv2feat,
+    "fasta2dist": cmd_fasta2dist,
+    "agp2genome": cmd_agp2genome,
+    "dmpbioseq": cmd_dmpbioseq,
+    "hammingdist": cmd_hammingdist,
     "ecreads": cmd_ecreads,
     "swservice": cmd_swservice,
     "pbfilter": cmd_pbfilter,
