@@ -1486,6 +1486,159 @@ cmd_hammingdist = _simple_cmd(
     "{n} rows", "converters2")
 
 
+def cmd_rnafragsim(argv):
+    """`RNAFragSim` tool parity: simulate RNA-seq fragments/reads from
+    transcript BED features over a genome."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu rnafragsim")
+    p.add_argument("-i", "--genome", required=True)
+    p.add_argument("-b", "--bed", required=True, help="transcript BED")
+    p.add_argument("-o", "--out", required=True, help="output FASTQ")
+    p.add_argument("-O", "--truthcsv", default=None,
+                   help="write per-transcript true counts CSV")
+    p.add_argument("-n", "--nfrags", type=int, default=10000)
+    p.add_argument("-l", "--readlen", type=int, default=100)
+    p.add_argument("--frag-min", type=int, default=150)
+    p.add_argument("--frag-max", type=int, default=400)
+    p.add_argument("--expr-alpha", type=float, default=1.0)
+    p.add_argument("-S", "--seed", type=int, default=1)
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs, write_fastq
+    from .sim.extra import rna_frag_sim
+
+    seqs = [(r.name, r.codes) for r in read_seqs(args.genome)]
+    names, reads, counts = rna_frag_sim(
+        seqs, args.bed, args.nfrags, frag_min=args.frag_min,
+        frag_max=args.frag_max, read_len=args.readlen, seed=args.seed,
+        expr_alpha=args.expr_alpha,
+    )
+    write_fastq(args.out, ((n, r, None) for n, r in zip(names, reads)))
+    if args.truthcsv:
+        with open(args.truthcsv, "w") as f:
+            f.write('"Transcript","TrueCount"\n')
+            for name, c in counts:
+                f.write(f'"{name}",{c}\n')
+    print(f"rnafragsim: {len(reads)} fragments over {len(counts)} "
+          "transcripts")
+    return 0
+
+
+def cmd_usimdiffexpr(argv):
+    """`usimdiffexpr` tool parity: simulate a differential-expression
+    count table with controlled fold changes."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu usimdiffexpr")
+    p.add_argument("-o", "--out", required=True, help="counts CSV")
+    p.add_argument("-O", "--truthcsv", default=None)
+    p.add_argument("-n", "--nfeatures", type=int, default=1000)
+    p.add_argument("--nctrl", type=int, default=3)
+    p.add_argument("--nexpt", type=int, default=3)
+    p.add_argument("--de-frac", type=float, default=0.1)
+    p.add_argument("--fold-change", type=float, default=4.0)
+    p.add_argument("--dispersion", type=float, default=0.2)
+    p.add_argument("-S", "--seed", type=int, default=1)
+    args = p.parse_args(argv)
+    from .sim.extra import sim_diff_expr
+
+    names, ctrl, expt, truth = sim_diff_expr(
+        args.nfeatures, n_ctrl=args.nctrl, n_expt=args.nexpt,
+        de_frac=args.de_frac, fold_change=args.fold_change,
+        dispersion=args.dispersion, seed=args.seed,
+    )
+    with open(args.out, "w") as f:
+        hdr = (['"Feature"']
+               + [f'"Ctrl{i+1}"' for i in range(args.nctrl)]
+               + [f'"Expt{i+1}"' for i in range(args.nexpt)])
+        f.write(",".join(hdr) + "\n")
+        for i, name in enumerate(names):
+            row = [f'"{name}"'] + [str(int(x)) for x in ctrl[i]]
+            row += [str(int(x)) for x in expt[i]]
+            f.write(",".join(row) + "\n")
+    if args.truthcsv:
+        with open(args.truthcsv, "w") as f:
+            f.write('"Feature","TrueFoldChange"\n')
+            for name, t in zip(names, truth):
+                f.write(f'"{name}",{t:.4f}\n')
+    n_de = int((truth != 1.0).sum())
+    print(f"usimdiffexpr: {args.nfeatures} features, {n_de} DE")
+    return 0
+
+
+def cmd_kangarg(argv):
+    """`kangarg` tool parity: genome K-mer randomiser — shuffle each
+    sequence preserving exact k-mer composition (CShuffle role)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kangarg")
+    p.add_argument("-i", "--inpath", required=True)
+    p.add_argument("-o", "--outpath", required=True)
+    p.add_argument("-k", "--kmerlen", type=int, default=2,
+                   help="conserved k-mer order (1=plain shuffle)")
+    p.add_argument("-S", "--seed", type=int, default=1)
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs, write_fasta
+    from .sim.extra import klet_shuffle
+
+    out = []
+    for i, rec in enumerate(read_seqs(args.inpath)):
+        out.append((rec.name,
+                    klet_shuffle(rec.codes, k=args.kmerlen,
+                                 seed=args.seed + i)))
+    write_fasta(args.outpath, out)
+    print(f"kangarg: {len(out)} sequences shuffled (k={args.kmerlen})")
+    return 0
+
+
+def cmd_findapproxmatches(argv):
+    """`FindShortApproxMatches` tool parity: every locus where each short
+    query matches within a mismatch budget (one-hot conv scan on MXU)."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu findapproxmatches")
+    p.add_argument("-i", "--queries", required=True, help="query FASTA")
+    p.add_argument("-I", "--genome", required=True,
+                   help="genome FASTA or index .npz")
+    p.add_argument("-o", "--out", required=True, help="hits CSV")
+    p.add_argument("-s", "--max-mm", type=int, default=2)
+    p.add_argument("-Q", "--strand", default="both",
+                   choices=("both", "sense"))
+    args = p.parse_args(argv)
+    import numpy as _np
+
+    from .ops.shortmatch import find_short_matches
+    from .seq.fasta import read_seqs
+
+    if args.genome.endswith(".npz"):
+        from .index.build import load_index
+
+        idx = load_index(args.genome)
+        genome = _np.asarray(idx.codes)
+        entry_names = idx.entry_names
+        entry_starts = _np.asarray(idx.entry_starts)
+    else:
+        recs = [(r.name, r.codes) for r in read_seqs(args.genome)]
+        genome = _np.concatenate([c for _, c in recs])
+        entry_names = [n for n, _ in recs]
+        entry_starts = _np.zeros(len(recs) + 1, _np.int64)
+        _np.cumsum([len(c) for _, c in recs], out=entry_starts[1:])
+    qrecs = [(r.name, r.codes) for r in read_seqs(args.queries)]
+    # group queries by width (the conv wants one W per dispatch)
+    by_w: dict[int, list[int]] = {}
+    for i, (_, c) in enumerate(qrecs):
+        by_w.setdefault(len(c), []).append(i)
+    n = 0
+    with open(args.out, "w") as f:
+        f.write('"Query","Chrom","Loci","Strand","Mismatches"\n')
+        for w, ids in sorted(by_w.items()):
+            hits = find_short_matches(
+                genome, [qrecs[i][1] for i in ids], max_mm=args.max_mm,
+                both_strands=args.strand == "both",
+            )
+            for qi, locus, strand, mm in hits:
+                e = int(_np.searchsorted(entry_starts, locus,
+                                         side="right")) - 1
+                f.write(f'"{qrecs[ids[qi]][0]}","{entry_names[e]}",'
+                        f"{locus - int(entry_starts[e])},"
+                        f'"{strand}",{mm}\n')
+                n += 1
+    print(f"findapproxmatches: {n} hits for {len(qrecs)} queries")
+    return 0
+
+
 def cmd_genzygosity(argv):
     """`genzygosity` tool parity: chrom-vs-chrom K-mer sharing matrix."""
     p = argparse.ArgumentParser(prog="biokanga-tpu genzygosity")
@@ -1555,6 +1708,10 @@ SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
     "genzygosity": cmd_genzygosity,
+    "rnafragsim": cmd_rnafragsim,
+    "usimdiffexpr": cmd_usimdiffexpr,
+    "kangarg": cmd_kangarg,
+    "findapproxmatches": cmd_findapproxmatches,
     "pescaffold": cmd_pescaffold,
     "alignsbs": cmd_alignsbs,
     "bed2csv": cmd_bed2csv,
