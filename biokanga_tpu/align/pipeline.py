@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.device import DeviceIndex
-from ..ops.extend import MM_INVALID, best_hit_reduce, hamming_extend
+from ..ops.extend import MM_INVALID, hamming_extend
 from ..ops.extend_packed import (
     MAX_PACKED_READ_LEN,
     hamming_extend_packed,
@@ -199,54 +199,53 @@ class AlignEngine:
             mm_all = jnp.concatenate(mm_parts, axis=1)
             C1 = loci_parts[0].shape[1]
 
-            red = best_hit_reduce(
-                mm_all,
-                max_tot_mm,
-                jnp.int32(ap.min_edit_dist),
-            )
-            bi = red["best_idx"]
-            locus = jnp.take_along_axis(loci_all, bi[:, None], axis=1)[:, 0]
-            if strand == "both":
-                is_rc_hit = bi >= C1
-            elif strand == "antisense":
-                is_rc_hit = jnp.ones_like(bi, dtype=bool)
-            else:
-                is_rc_hit = jnp.zeros_like(bi, dtype=bool)
-
-            # top-K equally-best loci for multi-hit assignment
-            # (AssignMultiMatches input, Aligner.cpp:5109): two-key sort
-            # by (mm, locus), lane-parallel over reads
+            # ONE two-key sort by (mm*2 | rc, locus) yields everything the
+            # acceptance rule needs (fused replacement for the former
+            # best_hit_reduce + multi-hit sort pair — the reduce re-scanned
+            # the same matrix the sort orders anyway):
+            #   row 0      -> best mm / locus / strand
+            #   row 1      -> next-best mm; margin < MMDelta iff inst > 1
+            #                 OR true margin fails — exactly the reference
+            #                 LowMMCnt/NxtLowMMCnt rule (SfxArrayV2.h:70-77)
+            #   rows 0..K  -> multi-hit loci (AssignMultiMatches input,
+            #                 Aligner.cpp:5109)
+            # rc rides in the key's low bit (sense sorts first at equal mm,
+            # matching the reference's sense-then-antisense traversal).
             K = max(1, ap.max_multi)
             Ctot = mm_all.shape[1]
-            Bn = bi.shape[0]
             if strand == "both":
-                rcf = jnp.broadcast_to(
-                    (jnp.arange(Ctot, dtype=jnp.int32) >= C1).astype(
-                        jnp.int32
-                    )[:, None],
-                    (Ctot, Bn),
-                )
+                rc_col = (jnp.arange(Ctot, dtype=jnp.int32) >= C1).astype(
+                    jnp.int32
+                )[None, :]
             else:
-                rcf = jnp.full((Ctot, Bn), int(strand == "antisense"),
-                               jnp.int32)
-            s_mm, s_loci, s_rc = jax.lax.sort(
-                (mm_all.astype(jnp.int32).T, loci_all.T, rcf),
-                dimension=0, num_keys=2,
+                rc_col = jnp.full((1, Ctot), int(strand == "antisense"),
+                                  jnp.int32)
+            key = mm_all.astype(jnp.int32) * 2 + rc_col
+            s_key, s_loci = jax.lax.sort(
+                (key.T, loci_all.T), dimension=0, num_keys=2
             )
-            ml_loci = s_loci[:K].T
-            ml_mm = s_mm[:K].T
-            ml_rc = s_rc[:K].T
+            best = s_key[0] >> 1
+            is_rc_hit = (s_key[0] & 1).astype(jnp.bool_)
+            locus = s_loci[0]
+            next_mm = s_key[1] >> 1
+            inst = jnp.sum(mm_all.astype(jnp.int32) == best[:, None],
+                           axis=1, dtype=jnp.int32)
+            any_hit = best <= max_tot_mm
+            unique = any_hit & (
+                (next_mm - best) >= jnp.int32(ap.min_edit_dist)
+            )
             return {
-                "unique": red["unique"],
-                "any_hit": red["any_hit"],
-                "best_mm": red["best"],
-                "inst": red["inst"],
+                "unique": unique,
+                "any_hit": any_hit,
+                "best_mm": jnp.minimum(best, MM_INVALID).astype(jnp.uint8),
+                "inst": inst,
                 "locus": locus,
                 "is_rc": is_rc_hit,
                 "overflow": ovf,
-                "ml_loci": ml_loci,
-                "ml_mm": jnp.minimum(ml_mm, 255).astype(jnp.uint8),
-                "ml_rc": ml_rc.astype(jnp.bool_),
+                "ml_loci": s_loci[:K].T,
+                "ml_mm": jnp.minimum(s_key[:K] >> 1, 255).astype(
+                    jnp.uint8).T,
+                "ml_rc": (s_key[:K] & 1).astype(jnp.bool_).T,
             }
 
         jitted = jax.jit(run)
@@ -311,13 +310,24 @@ class AlignEngine:
         if need.any():
             rows = np.nonzero(need)[0]
             Hr = self.params.rescue_cand_per_core
-            # pad subset to a power-of-two bucket so recompiles are bounded
-            sub_r, sub_l = pad_rows(reads[rows], lengths[rows])
-            sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=1 << 30)
-            k_n = len(rows)
-            for k in ("unique", "any_hit", "best_mm", "inst", "locus",
-                      "is_rc", "ml_loci", "ml_mm", "ml_rc"):
-                res[k][rows] = sub[k][:k_n]
+            # fixed 512-row dispatches (padded with empty reads): one
+            # compiled shape regardless of how many reads overflowed, and
+            # the wide-H extension temp stays bounded (unbounded cand_cap
+            # at a large row count OOMs a 16 GB chip)
+            CH = 512
+            cap = 8 * self.params.max_cand_per_strand
+            for s in range(0, len(rows), CH):
+                sub_rows = rows[s: s + CH]
+                k_n = len(sub_rows)
+                r = np.full((CH, reads.shape[1]), 4, reads.dtype)
+                l = np.zeros(CH, lengths.dtype)
+                r[:k_n] = reads[sub_rows]
+                l[:k_n] = lengths[sub_rows]
+                sub_r, sub_l = pad_rows(r, l)
+                sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=cap)
+                for k in ("unique", "any_hit", "best_mm", "inst", "locus",
+                          "is_rc", "ml_loci", "ml_mm", "ml_rc"):
+                    res[k][sub_rows] = sub[k][:k_n]
         return res
 
 
