@@ -1486,6 +1486,91 @@ cmd_hammingdist = _simple_cmd(
     "{n} rows", "converters2")
 
 
+cmd_quickcount = _simple_cmd(
+    "quickcount",
+    _IO + [(("-k", "--kmerlen"), dict(type=int, default=4)),
+           (("-m", "--mode"), dict(default="all",
+                                   choices=("all", "perseq", "norm")))],
+    "{n} N-mer rows", "misc_tools")
+cmd_loci2dist = _simple_cmd(
+    "loci2dist", _IO + [(("-b", "--bin-size"), dict(type=int, default=10))],
+    "{n} length bins", "misc_tools")
+cmd_ufilter = _simple_cmd(
+    "ufilter",
+    _IO + [(("-z", "--include"), dict(default=None)),
+           (("-Z", "--exclude"), dict(default=None))],
+    "{n} rows kept", "misc_tools")
+cmd_gensampler = _simple_cmd(
+    "gensampler",
+    _IO + [(("-n", "--n-samples"), dict(type=int, required=True)),
+           (("-l", "--sample-len"), dict(type=int, required=True)),
+           (("-b", "--bed-path"), dict(default=None)),
+           (("-x", "--exclude"), dict(action="store_true")),
+           (("-S", "--seed"), dict(type=int, default=1))],
+    "{n} samples", "misc_tools")
+
+
+def cmd_kangahrdx(argv):
+    """`kangahrdx` tool parity (CHomozyReduce): homozygotic-region read
+    reduction via canonical seed-key grouping."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kangahrdx")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--max-copies", type=int, default=2)
+    p.add_argument("--seed-len", type=int, default=32)
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs, write_fasta
+    from .tools.misc_tools import homozy_reduce
+
+    reads = []
+    for path in args.inreads:
+        reads.extend((r.name, r.codes) for r in read_seqs(path))
+    kept, st = homozy_reduce(reads, max_copies=args.max_copies,
+                             seed_len=args.seed_len)
+    write_fasta(args.out, kept)
+    print(f"kangahrdx: {st['reads_in']} reads in, {st['reads_out']} kept "
+          f"({st['groups']} region groups)")
+    return 0
+
+
+def cmd_kangaradseq(argv):
+    """`KangaRADSeq` tool parity: barcode demux + restriction-site check."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kangaradseq")
+    p.add_argument("-i", "--inreads", action="append", required=True)
+    p.add_argument("-b", "--barcodes", required=True,
+                   help="CSV of sample,barcode rows")
+    p.add_argument("-O", "--outdir", required=True)
+    p.add_argument("-e", "--enzyme", default="sbfI")
+    p.add_argument("--max-bc-mm", type=int, default=1)
+    args = p.parse_args(argv)
+    import csv as _csv
+    import os
+
+    from .seq.fasta import read_seqs, write_fasta
+    from .tools.misc_tools import radseq_demux
+
+    barcodes = {}
+    with open(args.barcodes) as f:
+        for row in _csv.reader(f):
+            if len(row) >= 2 and row[1].strip('"').strip():
+                s = row[0].strip('"')
+                if s.lower() in ("sample", "name"):
+                    continue
+                barcodes[s] = row[1].strip('"')
+    reads = []
+    for path in args.inreads:
+        reads.extend((r.name, r.codes) for r in read_seqs(path))
+    groups, st = radseq_demux(reads, barcodes, enzyme=args.enzyme,
+                              max_bc_mm=args.max_bc_mm)
+    os.makedirs(args.outdir, exist_ok=True)
+    for sample, recs in groups.items():
+        if recs:
+            write_fasta(os.path.join(args.outdir, f"{sample}.fa"), recs)
+    print(f"kangaradseq: {st['assigned']}/{st['reads_in']} assigned "
+          f"({st['bad_site']} bad site, {st['no_barcode']} no barcode)")
+    return 0
+
+
 def cmd_rnafragsim(argv):
     """`RNAFragSim` tool parity: simulate RNA-seq fragments/reads from
     transcript BED features over a genome."""
@@ -1756,7 +1841,15 @@ SUBCOMMANDS = {
     "locateroi": cmd_locateroi,
     "kmarkers": cmd_kmarkers,
     "prekmarkers": lambda argv: cmd_kmarkers(argv, fasta_out=True),
+    "locmarkers": lambda argv: cmd_kmarkers(argv, fasta_out=True),
     "snpmarkers": cmd_snpmarkers,
+    "genmarkers": cmd_snpmarkers,
+    "quickcount": cmd_quickcount,
+    "loci2dist": cmd_loci2dist,
+    "ufilter": cmd_ufilter,
+    "gensampler": cmd_gensampler,
+    "kangahrdx": cmd_kangahrdx,
+    "kangaradseq": cmd_kangaradseq,
     "markerseqs": cmd_markerseqs,
     "align": cmd_align,
     "simreads": cmd_simreads,
