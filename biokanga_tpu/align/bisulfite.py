@@ -1,0 +1,86 @@
+"""Bisulfite (methylation-context) alignment.
+
+Parity role: the reference's bisulfite mode — a T/C- and A/G-collapsed
+index copy is built at SfxBlock2Disk time (libbiokanga/SfxArrayV2.cpp:
+440-459) and reads are aligned in collapsed space (kanga align bisulfite
+processing mode).
+
+TPU design: two collapsed indexes (CT for the converted top strand, GA
+for the converted bottom strand), each searched by the standard batched
+seed-extend engine with the READ also C->T collapsed:
+
+  pass 1: CT(read)  vs CT(genome), sense strand only
+  pass 2: rc(CT(read)) vs GA(genome) (the engine's antisense path)
+
+A true top-strand read matches pass 1 exactly; a bottom-strand read
+satisfies rc(CT(read)) == GA(genome window).  Results merge host-side
+over the engines' top-K candidate lists with the same best/next-best
+MMDelta margin rule as the primary aligner.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..seq.encode import ct_collapse
+from .pipeline import AlignEngine
+
+
+class BisulfiteAligner:
+    """Two-engine bisulfite aligner (CT sense + GA antisense)."""
+
+    def __init__(self, engine_ct: AlignEngine, engine_ga: AlignEngine):
+        assert engine_ct.params.strand == "sense"
+        assert engine_ga.params.strand == "antisense"
+        self.ct = engine_ct
+        self.ga = engine_ga
+
+    def align_batch(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
+        creads = ct_collapse(reads)
+        out_ct, _ = self.ct.launch(creads, lengths)
+        out_ga, _ = self.ga.launch(creads, lengths)
+        import jax
+
+        r_ct = {k: np.asarray(v) for k, v in jax.device_get(out_ct).items()}
+        r_ga = {k: np.asarray(v) for k, v in jax.device_get(out_ga).items()}
+        return self._merge(r_ct, r_ga, lengths)
+
+    def _merge(self, r_ct: dict, r_ga: dict, lengths: np.ndarray) -> dict:
+        """Union the two engines' top-K lists; re-apply the margin rule."""
+        ap = self.ct.params
+        mm = np.concatenate([r_ct["ml_mm"], r_ga["ml_mm"]], axis=1).astype(
+            np.int32)
+        loci = np.concatenate([r_ct["ml_loci"], r_ga["ml_loci"]], axis=1)
+        K = r_ct["ml_mm"].shape[1]
+        strand = np.zeros_like(mm, dtype=bool)
+        strand[:, K:] = True  # GA engine == bottom strand (reported as rc)
+
+        order = np.argsort(mm, axis=1, kind="stable")
+        mm_s = np.take_along_axis(mm, order, axis=1)
+        loci_s = np.take_along_axis(loci, order, axis=1)
+        str_s = np.take_along_axis(strand, order, axis=1)
+
+        if ap.max_subs_per100 == 0:
+            max_tot = np.zeros(len(lengths), np.int32)
+        else:
+            max_tot = np.clip(
+                np.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5
+                         ).astype(np.int32), 1, 63)
+        best = mm_s[:, 0]
+        next_mm = mm_s[:, 1] if mm_s.shape[1] > 1 else np.full_like(best, 255)
+        inst = (mm == best[:, None]).sum(axis=1)
+        any_hit = best <= max_tot
+        unique = any_hit & ((next_mm - best) >= ap.min_edit_dist)
+        return {
+            "unique": unique,
+            "any_hit": any_hit,
+            "best_mm": np.minimum(best, 255).astype(np.uint8),
+            "inst": inst.astype(np.int32),
+            "locus": loci_s[:, 0].astype(np.int32),
+            "is_rc": str_s[:, 0],
+            "overflow": np.asarray(r_ct["overflow"]) | np.asarray(
+                r_ga["overflow"]),
+            "ml_loci": loci_s[:, : max(1, ap.max_multi)],
+            "ml_mm": np.minimum(mm_s[:, : max(1, ap.max_multi)],
+                                255).astype(np.uint8),
+            "ml_rc": str_s[:, : max(1, ap.max_multi)],
+        }

@@ -11,6 +11,7 @@ Usage:  python -m biokanga_tpu <subcommand> [args...]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 
 import numpy as np
@@ -40,9 +41,10 @@ def cmd_index(argv: list[str]) -> int:
                    help="input FASTA file(s), gzip ok (repeatable)")
     p.add_argument("-o", "--out", required=True, help="output index file (.npz)")
     p.add_argument("-r", "--ref", default="", help="reference species/tag")
-    p.add_argument("-m", "--mode", type=int, default=0, choices=(0, 2),
-                   help="0 standard; 2 synthetic pseudorandom genome "
-                        "benchmark (kangax -m2 role)")
+    p.add_argument("-m", "--mode", type=int, default=0, choices=(0, 1, 2),
+                   help="0 standard; 1 bisulfite methylation index "
+                        "(kangax -m1 role); 2 synthetic pseudorandom "
+                        "genome benchmark (kangax -m2 role)")
     p.add_argument("-s", "--synthetic-mbp", type=int, default=100,
                    help="mode 2: synthetic genome size in Mbp")
     p.add_argument("--lut-bases", type=int, default=12)
@@ -62,6 +64,22 @@ def cmd_index(argv: list[str]) -> int:
         log.info("synthetic genome: %d Mbp (RAM-only benchmark mode)",
                  args.synthetic_mbp)
         idx = build_index(seqs, lut_bases=args.lut_bases)
+    elif args.mode == 1:
+        if not args.infasta:
+            p.error("-i/--infasta required for -m1")
+        from .index.build import build_bisulfite_indexes, save_bisulfite_index
+        from .seq.fasta import read_seqs
+
+        seqs = []
+        for path in args.infasta:
+            seqs.extend((r.name, r.codes) for r in read_seqs(path))
+        ct, ga = build_bisulfite_indexes(seqs, lut_bases=args.lut_bases)
+        log.info("bisulfite-indexed %d entries, %d bp in %.1fs",
+                 ct.num_entries, ct.total_len, sw.mark("build"))
+        save_bisulfite_index(ct, ga, args.out)
+        log.info("bisulfite index written to %s (%.1fs)", args.out,
+                 sw.elapsed())
+        return 0
     else:
         if not args.infasta:
             p.error("-i/--infasta required unless -m2")
@@ -161,6 +179,46 @@ def cmd_align(argv: list[str]) -> int:
             return read_rds_blocks(path, block_size=args.batch_size,
                                    mate=mate)
         return read_blocks(path, block_size=args.batch_size)
+
+    from .index.build import is_bisulfite_index
+
+    if is_bisulfite_index(args.sfx):
+        from .align.bisulfite import BisulfiteAligner
+        from .index.build import load_bisulfite_index
+
+        ict, iga = load_bisulfite_index(args.sfx)
+        params_ct = AlignParams(
+            max_subs_per100=args.substitutions,
+            min_edit_dist=args.editdelta, max_multi=args.maxmulti,
+            mode=Sensitivity(args.mode), strand="sense",
+            batch_size=args.batch_size,
+        )
+        params_ga = dataclasses.replace(params_ct, strand="antisense")
+        bs = BisulfiteAligner(
+            AlignEngine(to_device(ict), params_ct),
+            AlignEngine(to_device(iga), params_ga),
+        )
+        log.info("bisulfite index loaded: %d bp, %d entries (%.1fs)",
+                 ict.total_len, ict.num_entries, sw.mark("load"))
+        n_total = n_unique = 0
+        with open(args.out, "w") as out:
+            first = True
+            for path in args.inreads:
+                for blk in read_blocks(path, block_size=args.batch_size):
+                    codes, lens = pad_rows(blk.codes, blk.lengths)
+                    res = bs.align_batch(codes, lens)
+                    write_alignments_sam(
+                        out, ict.entry_names, ict.entry_starts,
+                        blk.names, blk.codes, blk.lengths, res,
+                        write_header=first,
+                    )
+                    first = False
+                    n_total += len(blk.names)
+                    n_unique += int(res["unique"].sum())
+        log.info("bisulfite-aligned %d reads: %d unique (%.2f%%) in %.1fs",
+                 n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
+                 sw.elapsed())
+        return 0
 
     idx = load_index(args.sfx)
     didx = to_device(idx)

@@ -126,6 +126,72 @@ def build_index(
     )
 
 
+def build_bisulfite_indexes(
+    seqs: list[tuple[str, np.ndarray]],
+    lut_bases: int = DEFAULT_LUT_BASES,
+) -> tuple[GenomeIndex, GenomeIndex]:
+    """Bisulfite index pair: (CT-collapsed, GA-collapsed) — the role of
+    the reference's collapsed index copies built in SfxBlock2Disk
+    (libbiokanga/SfxArrayV2.cpp:440-459; kangax -m1 mode)."""
+    from ..seq.encode import ct_collapse, ga_collapse
+
+    ct = build_index([(n, ct_collapse(s)) for n, s in seqs], lut_bases)
+    ga = build_index([(n, ga_collapse(s)) for n, s in seqs], lut_bases)
+    return ct, ga
+
+
+def save_bisulfite_index(ct: GenomeIndex, ga: GenomeIndex,
+                         path: str) -> None:
+    meta = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "bisulfite": True,
+        "entry_names": ct.entry_names,
+        "lut_bases": ct.lut_bases,
+        "created_unix": time.time(),
+    }
+    arrays = {}
+    for tag, idx in (("ct", ct), ("ga", ga)):
+        arrays[f"{tag}_codes"] = idx.codes
+        arrays[f"{tag}_pos_sorted"] = idx.pos_sorted
+        arrays[f"{tag}_key_hi"] = idx.key_hi
+        arrays[f"{tag}_key_lo"] = idx.key_lo
+        arrays[f"{tag}_lut"] = idx.lut
+    np.savez(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        entry_starts=ct.entry_starts,
+        **arrays,
+    )
+
+
+def is_bisulfite_index(path: str) -> bool:
+    with np.load(path) as z:
+        if "meta" not in z:
+            return False
+        return bool(json.loads(z["meta"].tobytes().decode()
+                               ).get("bisulfite", False))
+
+
+def load_bisulfite_index(path: str) -> tuple[GenomeIndex, GenomeIndex]:
+    with np.load(path) as z:
+        meta = json.loads(z["meta"].tobytes().decode())
+        if not meta.get("bisulfite"):
+            raise ValueError(f"{path} is not a bisulfite index")
+        out = []
+        for tag in ("ct", "ga"):
+            out.append(GenomeIndex(
+                codes=z[f"{tag}_codes"],
+                entry_names=list(meta["entry_names"]),
+                entry_starts=z["entry_starts"],
+                pos_sorted=z[f"{tag}_pos_sorted"],
+                key_hi=z[f"{tag}_key_hi"],
+                key_lo=z[f"{tag}_key_lo"],
+                lut=z[f"{tag}_lut"],
+                lut_bases=int(meta["lut_bases"]),
+            ))
+        return out[0], out[1]
+
+
 def build_index_from_fasta(
     paths: list[str] | str, lut_bases: int = DEFAULT_LUT_BASES
 ) -> GenomeIndex:

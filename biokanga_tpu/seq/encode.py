@@ -48,6 +48,22 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
     return _COMP[np.clip(codes[..., ::-1], 0, 4)]
 
 
+# bisulfite collapse tables (SfxArrayV2.cpp:440-459 builds the collapsed
+# index copies at SfxBlock2Disk time): CT maps C->T, GA maps G->A
+_CT = np.array([A, T, G, T, N], dtype=np.int8)
+_GA = np.array([A, C, A, T, N], dtype=np.int8)
+
+
+def ct_collapse(codes: np.ndarray) -> np.ndarray:
+    """Bisulfite C->T collapse (unmethylated-C conversion space)."""
+    return _CT[np.clip(codes, 0, 4)]
+
+
+def ga_collapse(codes: np.ndarray) -> np.ndarray:
+    """Bisulfite G->A collapse (the reverse-strand conversion space)."""
+    return _GA[np.clip(codes, 0, 4)]
+
+
 def revcomp_jnp(codes):
     """Reverse complement on device: A<->T, C<->G via (3 - c), N stays N."""
     import jax.numpy as jnp
