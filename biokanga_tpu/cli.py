@@ -1629,6 +1629,152 @@ def cmd_kangaradseq(argv):
     return 0
 
 
+def cmd_csv2sqlite(argv):
+    """`csv2sqlite` tool parity (csv2sqlite/, 3,624 LoC): load any CSV
+    into a SQLite table, types inferred per column."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu csv2sqlite")
+    p.add_argument("-i", "--incsv", required=True)
+    p.add_argument("-o", "--db", required=True)
+    p.add_argument("-t", "--table", default=None,
+                   help="table name (default: CSV basename)")
+    args = p.parse_args(argv)
+    import csv as _csv
+    import os
+    import re as _re
+    import sqlite3
+
+    table = args.table or _re.sub(
+        r"\W", "_", os.path.splitext(os.path.basename(args.incsv))[0])
+    with open(args.incsv) as f:
+        rd = _csv.reader(f)
+        header = [c.strip('"') for c in next(rd)]
+        rows = [r for r in rd if r]
+
+    def coltype(j):
+        intish = floatish = True
+        for r in rows:
+            v = r[j].strip('"') if j < len(r) else ""
+            if not v:
+                continue
+            try:
+                float(v)
+            except ValueError:
+                return "TEXT"
+            floatish = True
+            try:
+                int(v)
+            except ValueError:
+                intish = False
+        return "INTEGER" if intish else ("REAL" if floatish else "TEXT")
+
+    types = [coltype(j) for j in range(len(header))]
+    con = sqlite3.connect(args.db)
+    cols = ", ".join(f'"{h}" {t}' for h, t in zip(header, types))
+    con.execute(f'DROP TABLE IF EXISTS "{table}"')
+    con.execute(f'CREATE TABLE "{table}" ({cols})')
+    ph = ",".join("?" * len(header))
+
+    def conv(v, t):
+        v = v.strip('"')
+        if v == "":
+            return None
+        if t == "INTEGER":
+            return int(v)
+        if t == "REAL":
+            return float(v)
+        return v
+
+    con.executemany(
+        f'INSERT INTO "{table}" VALUES ({ph})',
+        ([conv(r[j] if j < len(r) else "", types[j])
+          for j in range(len(header))] for r in rows),
+    )
+    con.commit()
+    con.close()
+    print(f"csv2sqlite: {len(rows)} rows -> {args.db}:{table}")
+    return 0
+
+
+def cmd_alignvalidate(argv):
+    """CAlignValidate parity (libbiokanga/AlignValidate.h:67-96): score a
+    SAM result set against simreads ground-truth descriptors, or compute
+    reciprocal-overlap stats between two SAM result sets."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu alignvalidate")
+    p.add_argument("-i", "--insam", required=True)
+    p.add_argument("-r", "--refsam", default=None,
+                   help="second SAM to compare against (else use simreads"
+                        " descriptors as truth)")
+    p.add_argument("-o", "--out", default=None, help="optional CSV report")
+    p.add_argument("--tolerance", type=int, default=2,
+                   help="max locus offset still counted correct")
+    args = p.parse_args(argv)
+
+    def read_sam(path):
+        hits = {}
+        for line in open(path):
+            if line.startswith("@"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            if int(f[1]) & 0x900:  # secondary/supplementary
+                continue
+            if f[2] == "*":
+                hits[f[0]] = None
+            else:
+                hits[f[0]] = (f[2], int(f[3]) - 1, (int(f[1]) & 16) != 0)
+        return hits
+
+    got = read_sam(args.insam)
+    rows = []
+    if args.refsam:
+        ref = read_sam(args.refsam)
+        both = agree = only_a = only_b = 0
+        for name, h in got.items():
+            r = ref.get(name)
+            if h and r:
+                both += 1
+                if (h[0] == r[0] and abs(h[1] - r[1]) <= args.tolerance
+                        and h[2] == r[2]):
+                    agree += 1
+            elif h:
+                only_a += 1
+        for name, r in ref.items():
+            if r and got.get(name) is None:
+                only_b += 1
+        rows = [("AlignedBoth", both), ("Agree", agree),
+                ("OnlyIn", only_a), ("OnlyInRef", only_b)]
+        print(f"alignvalidate: {agree}/{both} agree "
+              f"({100.0 * agree / max(both, 1):.2f}%), "
+              f"{only_a} only in -i, {only_b} only in -r")
+    else:
+        from .sim.simreads import SimReadTruth
+
+        tot = correct = wrong = unaligned = 0
+        for name, h in got.items():
+            try:
+                t = SimReadTruth.parse(name)
+            except Exception:
+                continue
+            tot += 1
+            if h is None:
+                unaligned += 1
+            elif (h[0] == t.chrom and abs(h[1] - t.start) <= args.tolerance
+                  and h[2] == (t.strand == "-")):
+                correct += 1
+            else:
+                wrong += 1
+        rows = [("Total", tot), ("Correct", correct), ("Wrong", wrong),
+                ("Unaligned", unaligned)]
+        print(f"alignvalidate: {correct}/{tot} correct "
+              f"({100.0 * correct / max(tot, 1):.2f}%), {wrong} wrong, "
+              f"{unaligned} unaligned")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write('"Metric","Value"\n')
+            for k, v in rows:
+                f.write(f'"{k}",{v}\n')
+    return 0
+
+
 def cmd_rnafragsim(argv):
     """`RNAFragSim` tool parity: simulate RNA-seq fragments/reads from
     transcript BED features over a genome."""
@@ -1852,6 +1998,8 @@ SUBCOMMANDS = {
     "uhamming": cmd_uhamming,
     "genzygosity": cmd_genzygosity,
     "rnafragsim": cmd_rnafragsim,
+    "csv2sqlite": cmd_csv2sqlite,
+    "alignvalidate": cmd_alignvalidate,
     "usimdiffexpr": cmd_usimdiffexpr,
     "kangarg": cmd_kangarg,
     "findapproxmatches": cmd_findapproxmatches,
