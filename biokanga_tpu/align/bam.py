@@ -46,16 +46,26 @@ class BGZFWriter:
     def __init__(self, fileobj):
         self.f = fileobj
         self.buf = bytearray()
+        self.coffset = 0  # compressed bytes flushed so far
+
+    def vtell(self) -> int:
+        """BGZF virtual file offset of the next byte to be written:
+        (compressed offset of current block) << 16 | intra-block offset."""
+        return (self.coffset << 16) | len(self.buf)
 
     def write(self, data: bytes):
         self.buf += data
         while len(self.buf) >= MAX_BLOCK:
-            self.f.write(_bgzf_block(bytes(self.buf[:MAX_BLOCK])))
+            blk = _bgzf_block(bytes(self.buf[:MAX_BLOCK]))
+            self.f.write(blk)
+            self.coffset += len(blk)
             del self.buf[:MAX_BLOCK]
 
     def close(self):
         if self.buf:
-            self.f.write(_bgzf_block(bytes(self.buf)))
+            blk = _bgzf_block(bytes(self.buf))
+            self.f.write(blk)
+            self.coffset += len(blk)
             self.buf.clear()
         self.f.write(BGZF_EOF)
 
@@ -151,13 +161,160 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Generalized reg2bin for CSI (htslib hts_reg2bin semantics)."""
+    end -= 1
+    level, s, t = depth, min_shift, 0
+    while level > 0:
+        if beg >> s == end >> s:
+            # offset of this level's first bin: sum of 8^k for k<level
+            t = ((1 << (3 * level)) - 1) // 7
+            return t + (beg >> s)
+        s += 3
+        level -= 1
+    return 0
+
+
+class BAMIndexer:
+    """Accumulates per-record (ref, beg, end, voffset) spans and writes a
+    BAI (refs ≤512 Mbp) or CSI index — the reference's CSAMfile BAI/CSI
+    generation with auto-switch (libbiokanga/SAMfile.h:21-53, ChangeLog:20).
+
+    Requires records fed in coordinate-sorted order per standard BAM
+    indexing semantics (chunks within a bin are merged when adjacent)."""
+
+    LINEAR_SHIFT = 14  # 16 kb linear-index windows (BAI)
+    CSI_MIN_SHIFT = 14
+    CSI_DEPTH = 6  # covers refs up to 2^(14+3*6) = 4 Gbp
+
+    def __init__(self, n_ref: int, ref_lengths):
+        self.n_ref = n_ref
+        self.use_csi = any(int(l) > CSI_MIN_LEN for l in ref_lengths)
+        # per ref: {bin: [ [cnk_beg, cnk_end], ... ]}
+        self.bins = [dict() for _ in range(n_ref)]
+        self.linear = [dict() for _ in range(n_ref)]  # window -> min voffset
+        self.loffset = [dict() for _ in range(n_ref)]  # bin -> min voffset
+        self.n_no_coor = 0
+        self.mapped = [0] * n_ref
+        self.unmapped = [0] * n_ref
+
+    def add(self, ref_id: int, beg: int, end: int, vbeg: int, vend: int,
+            unmapped: bool = False):
+        if ref_id < 0 or beg < 0:
+            self.n_no_coor += 1
+            return
+        if unmapped:
+            self.unmapped[ref_id] += 1
+        else:
+            self.mapped[ref_id] += 1
+        if self.use_csi:
+            b = _reg2bin_csi(beg, end, self.CSI_MIN_SHIFT, self.CSI_DEPTH)
+        else:
+            b = _reg2bin(beg, end)
+        chunks = self.bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1][1] = vend  # merge adjacent chunks
+        else:
+            chunks.append([vbeg, vend])
+        lo = self.loffset[ref_id]
+        if b not in lo or vbeg < lo[b]:
+            lo[b] = vbeg
+        lin = self.linear[ref_id]
+        for w in range(beg >> self.LINEAR_SHIFT,
+                       (max(beg, end - 1) >> self.LINEAR_SHIFT) + 1):
+            if w not in lin or vbeg < lin[w]:
+                lin[w] = vbeg
+
+    def write(self, path: str):
+        if self.use_csi:
+            self._write_csi(path)
+        else:
+            self._write_bai(path)
+
+    def _write_bai(self, path: str):
+        out = bytearray(b"BAI\x01" + struct.pack("<i", self.n_ref))
+        for r in range(self.n_ref):
+            out += struct.pack("<i", len(self.bins[r]))
+            for b in sorted(self.bins[r]):
+                chunks = self.bins[r][b]
+                out += struct.pack("<Ii", b, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            lin = self.linear[r]
+            n_intv = (max(lin) + 1) if lin else 0
+            out += struct.pack("<i", n_intv)
+            filled = 0
+            for w in range(n_intv):
+                filled = lin.get(w, filled)
+                out += struct.pack("<Q", filled)
+        out += struct.pack("<Q", self.n_no_coor)
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+
+    def _write_csi(self, path: str):
+        body = bytearray(
+            b"CSI\x01"
+            + struct.pack("<iii", self.CSI_MIN_SHIFT, self.CSI_DEPTH, 0)
+            + struct.pack("<i", self.n_ref)
+        )
+        for r in range(self.n_ref):
+            body += struct.pack("<i", len(self.bins[r]))
+            for b in sorted(self.bins[r]):
+                chunks = self.bins[r][b]
+                body += struct.pack(
+                    "<IQi", b, self.loffset[r].get(b, 0), len(chunks)
+                )
+                for cb, ce in chunks:
+                    body += struct.pack("<QQ", cb, ce)
+        body += struct.pack("<Q", self.n_no_coor)
+        with open(path, "wb") as f:
+            w = BGZFWriter(f)
+            w.write(bytes(body))
+            w.close()
+
+
+def read_bai(path: str):
+    """Parse a BAI index -> (per-ref {bin: [(cbeg, cend)]}, per-ref linear)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"BAI\x01", "not a BAI index"
+    n_ref = struct.unpack_from("<i", data, 4)[0]
+    pos = 8
+    bins_out, linear_out = [], []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, pos)
+            pos += 8
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", data, pos)
+                pos += 16
+                chunks.append((cb, ce))
+            bins[b] = chunks
+        n_intv = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        lin = list(struct.unpack_from(f"<{n_intv}Q", data, pos))
+        pos += 8 * n_intv
+        bins_out.append(bins)
+        linear_out.append(lin)
+    return bins_out, linear_out
+
+
 class BAMWriter:
     """Streams SAM-equivalent records into a BAM file."""
 
-    def __init__(self, path: str, ref_names, ref_lengths, header_text=""):
+    def __init__(self, path: str, ref_names, ref_lengths, header_text="",
+                 index: bool = False):
+        self.path = path
         self.f = open(path, "wb")
         self.w = BGZFWriter(self.f)
         self.ref_index = {n: i for i, n in enumerate(ref_names)}
+        self.indexer = (
+            BAMIndexer(len(ref_names), ref_lengths) if index else None
+        )
         text = header_text.encode()
         hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
         hdr += struct.pack("<i", len(ref_names))
@@ -177,14 +334,24 @@ class BAMWriter:
         tags = b""
         if nm is not None:
             tags = b"NMC" + struct.pack("<B", min(int(nm), 255))
+        vbeg = self.w.vtell()
         self.w.write(
             _encode_record(qname, flag, ref_id, pos1 - 1, mapq, cigar,
                            nref, pnext1 - 1, tlen, seq, qual, tags)
         )
+        if self.indexer is not None:
+            cig = _encode_cigar(cigar) if cigar not in ("*", "") else []
+            l_seq = 0 if seq in ("*", "") else len(seq)
+            span = max(1, _ref_span(cig, l_seq))
+            self.indexer.add(ref_id, pos1 - 1, pos1 - 1 + span,
+                             vbeg, self.w.vtell(), unmapped=bool(flag & 4))
 
     def close(self):
         self.w.close()
         self.f.close()
+        if self.indexer is not None:
+            ext = ".csi" if self.indexer.use_csi else ".bai"
+            self.indexer.write(self.path + ext)
 
 
 def read_bam(path: str):
@@ -234,8 +401,10 @@ def read_bam(path: str):
     return text, refs, records
 
 
-def sam_to_bam(sam_path: str, bam_path: str) -> int:
-    """Convert a SAM text file to BAM. Returns record count."""
+def sam_to_bam(sam_path: str, bam_path: str, index: bool = True) -> int:
+    """Convert a SAM text file to BAM (+ .bai/.csi index when `index`).
+    Records are coordinate-sorted (required for the index), matching the
+    reference's sorted-BAM-with-index output path (libbiokanga/SAMfile.cpp)."""
     ref_names, ref_lens = [], []
     header_lines = []
     n = 0
@@ -250,23 +419,30 @@ def sam_to_bam(sam_path: str, bam_path: str) -> int:
                     l = re.search(r"LN:(\d+)", line)
                     ref_names.append(m.group(1))
                     ref_lens.append(int(l.group(1)))
-    w = BAMWriter(bam_path, ref_names, ref_lens, "".join(header_lines))
+    w = BAMWriter(bam_path, ref_names, ref_lens, "".join(header_lines),
+                  index=index)
+    ref_order = {name: i for i, name in enumerate(ref_names)}
+    rows = []
     with open(sam_path) as f:
         for line in f:
             if line.startswith("@"):
                 continue
             fl = line.rstrip("\n").split("\t")
-            qual = None
-            if fl[10] != "*":
-                qual = bytes(ord(c) - 33 for c in fl[10])
-            nm = None
-            for tag in fl[11:]:
-                if tag.startswith("NM:i:"):
-                    nm = int(tag[5:])
-            w.write_record(
-                fl[0], int(fl[1]), fl[2], int(fl[3]), int(fl[4]), fl[5],
-                fl[6], int(fl[7]), int(fl[8]), fl[9], qual, nm,
-            )
-            n += 1
+            rows.append(fl)
+    if index:
+        rows.sort(key=lambda fl: (ref_order.get(fl[2], 1 << 30), int(fl[3])))
+    for fl in rows:
+        qual = None
+        if fl[10] != "*":
+            qual = bytes(ord(c) - 33 for c in fl[10])
+        nm = None
+        for tag in fl[11:]:
+            if tag.startswith("NM:i:"):
+                nm = int(tag[5:])
+        w.write_record(
+            fl[0], int(fl[1]), fl[2], int(fl[3]), int(fl[4]), fl[5],
+            fl[6], int(fl[7]), int(fl[8]), fl[9], qual, nm,
+        )
+        n += 1
     w.close()
     return n

@@ -1312,6 +1312,63 @@ def cmd_kangar(argv):
     return 0
 
 
+def cmd_kangapr(argv):
+    """`kangapr` tool parity (kangapr/kangapr.cpp:113-127, SampleReads.cpp):
+    NGS preprocess-reads sampler — emit every Nth read starting at an offset,
+    capped at a max sample count, SE (-m0) or PE (-m1) with both mates kept
+    in lockstep."""
+    p = argparse.ArgumentParser(prog="biokanga-tpu kangapr")
+    p.add_argument("-m", "--mode", type=int, default=0, choices=[0, 1],
+                   help="0 SE reads in -i files, 1 PE reads in -i/-I files")
+    p.add_argument("-s", "--sampleof", type=int, default=1,
+                   help="start sampling from this read (1-based)")
+    p.add_argument("-S", "--samplenth", type=int, default=1,
+                   help="sample every Nth read")
+    p.add_argument("-M", "--maxsamples", type=int, default=0,
+                   help="max samples (0 = until last read)")
+    p.add_argument("-i", "--in1", action="append", required=True)
+    p.add_argument("-I", "--in2", action="append", default=None)
+    p.add_argument("-o", "--out1", required=True)
+    p.add_argument("-O", "--out2", default=None)
+    args = p.parse_args(argv)
+    from .seq.fasta import read_seqs, write_fasta, write_fastq
+
+    if args.mode == 1 and (not args.in2 or not args.out2):
+        p.error("PE mode needs -I and -O")
+
+    def sample(records):
+        kept = 0
+        for i, rec in enumerate(records, start=1):
+            if i < args.sampleof or (i - args.sampleof) % args.samplenth:
+                continue
+            if args.maxsamples and kept >= args.maxsamples:
+                return
+            kept += 1
+            yield rec
+
+    def chain(paths):
+        for path in paths:
+            yield from read_seqs(path)
+
+    def emit(out_path, recs):
+        rows = [(r.name, r.codes, r.qual) for r in recs]
+        if rows and rows[0][2] is not None:
+            write_fastq(out_path, rows)
+        else:
+            write_fasta(out_path, [(n, c) for n, c, _ in rows])
+        return len(rows)
+
+    if args.mode == 0:
+        n = emit(args.out1, sample(chain(args.in1)))
+        print(f"kangapr: sampled {n} SE reads -> {args.out1}")
+    else:
+        pairs = list(sample(zip(chain(args.in1), chain(args.in2))))
+        n = emit(args.out1, (a for a, _ in pairs))
+        emit(args.out2, (b for _, b in pairs))
+        print(f"kangapr: sampled {n} PE pairs -> {args.out1},{args.out2}")
+    return 0
+
+
 def cmd_filterreads(argv):
     """`filterreads` tool parity (filterreads/): filter a packed `.rds`
     container by length / N-count / exact-duplicate status."""
@@ -2031,6 +2088,7 @@ SUBCOMMANDS = {
     "swservice": cmd_swservice,
     "pbfilter": cmd_pbfilter,
     "kangar": cmd_kangar,
+    "kangapr": cmd_kangapr,
     "filterreads": cmd_filterreads,
     "contigs": cmd_pbcontigs,
     "eccontigs": cmd_eccontigs,

@@ -44,12 +44,13 @@ def test_bam_roundtrip(tmp_path):
     text, refs, recs = read_bam(bam)
     assert refs == [("chr1", 9000), ("chr2", 4000)]
     assert "@SQ\tSN:chr1" in text
-    assert recs[0]["qname"] == "q1" and recs[0]["pos"] == 1500
-    assert recs[0]["seq"] == "ACGT" * 25
-    assert recs[1]["cigar"] == "40M5D60M" and recs[1]["flag"] == 16
-    assert recs[2]["ref_id"] == -1 and recs[2]["flag"] == 4
-    assert recs[3]["rnext"] == 0 and recs[3]["pnext"] == 500
-    assert recs[3]["tlen"] == 400
+    # output is coordinate-sorted: chr1@200, chr1@1500, chr2@77, unmapped
+    assert [r["qname"] for r in recs] == ["p1", "q1", "q2", "q3"]
+    assert recs[1]["pos"] == 1500 and recs[1]["seq"] == "ACGT" * 25
+    assert recs[2]["cigar"] == "40M5D60M" and recs[2]["flag"] == 16
+    assert recs[3]["ref_id"] == -1 and recs[3]["flag"] == 4
+    assert recs[0]["rnext"] == 0 and recs[0]["pnext"] == 500
+    assert recs[0]["tlen"] == 400
 
 
 def test_align_bam_output(tmp_path):
@@ -73,3 +74,53 @@ def test_align_bam_output(tmp_path):
         if r["pos"] == t.start:
             ok += 1
     assert ok > 95
+
+
+def test_bai_index_written_and_valid(tmp_path):
+    from biokanga_tpu.align.bam import read_bai
+
+    sam = tmp_path / "c.sam"
+    lines = ["@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n"]
+    # unsorted input; writer must coordinate-sort before indexing
+    for i, pos in enumerate([50000, 120, 33000, 700, 16500]):
+        lines.append(
+            f"r{i}\t0\tchr1\t{pos}\t60\t100M\t*\t0\t0\t" + "A" * 100 + "\t*\n"
+        )
+    sam.write_text("".join(lines))
+    bam = str(tmp_path / "c.bam")
+    assert sam_to_bam(str(sam), bam) == 5
+    bins, linear = read_bai(bam + ".bai")
+    assert len(bins) == 1
+    n_chunks = sum(len(c) for c in bins[0].values())
+    assert 1 <= n_chunks <= 5
+    # every chunk start must point at a valid record boundary: decode the
+    # BGZF block at the chunk's coffset and read a plausible block_size
+    data = open(bam, "rb").read()
+    raw = bgzf_decompress(bam)
+    for chunks in bins[0].values():
+        for cbeg, _ in chunks:
+            coffset, uoffset = cbeg >> 16, cbeg & 0xFFFF
+            assert data[coffset : coffset + 2] == b"\x1f\x8b"
+    # linear index is monotone non-decreasing where filled
+    filled = [v for v in linear[0] if v]
+    assert filled == sorted(filled)
+    # lowest-position record (pos 120) must appear in the linear window 0
+    assert linear[0][0] != 0 or len(linear[0]) > 0
+
+
+def test_csi_autoswitch_for_large_ref(tmp_path):
+    sam = tmp_path / "d.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n@SQ\tSN:big\tLN:600000000\n"
+        "r0\t0\tbig\t550000000\t60\t100M\t*\t0\t0\t" + "C" * 100 + "\t*\n"
+    )
+    bam = str(tmp_path / "d.bam")
+    assert sam_to_bam(str(sam), bam) == 1
+    import os
+
+    assert os.path.exists(bam + ".csi")
+    assert not os.path.exists(bam + ".bai")
+    body = bgzf_decompress(bam + ".csi")
+    assert body[:4] == b"CSI\x01"
+    min_shift, depth, l_aux = struct.unpack_from("<iii", body, 4)
+    assert (min_shift, depth) == (14, 6)

@@ -123,3 +123,20 @@ def test_kangahrdx_cli(tmp_path):
     assert main(["kangahrdx", "-i", fa, "-o", out,
                  "--max-copies", "2"]) == 0
     assert len(list(read_seqs(out))) == 2
+
+
+def test_kangapr_sampling(tmp_path):
+    from biokanga_tpu.cli import main
+
+    p1 = tmp_path / "p1.fq"
+    p2 = tmp_path / "p2.fq"
+    p1.write_text("".join(f"@a{i}\nACGT\n+\nIIII\n" for i in range(10)))
+    p2.write_text("".join(f"@b{i}\nTTTT\n+\nIIII\n" for i in range(10)))
+    o1, o2 = str(tmp_path / "o1.fq"), str(tmp_path / "o2.fq")
+    # PE: every 3rd pair starting at pair 2, max 2 samples
+    assert main(["kangapr", "-m", "1", "-i", str(p1), "-I", str(p2),
+                 "-o", o1, "-O", o2, "-s", "2", "-S", "3", "-M", "2"]) == 0
+    names1 = [l[1:].strip() for l in open(o1) if l.startswith("@")]
+    names2 = [l[1:].strip() for l in open(o2) if l.startswith("@")]
+    assert names1 == ["a1", "a4"]
+    assert names2 == ["b1", "b4"]
