@@ -1599,6 +1599,29 @@ cmd_dmpbioseq = _simple_cmd(
 cmd_hammingdist = _simple_cmd(
     "hamming_dist", _IO + [(("-w", "--window"), dict(type=int, default=0))],
     "{n} rows", "converters2")
+cmd_genbioseq = _simple_cmd(
+    "genbioseq",
+    [(("-i", "--inpaths"), dict(action="append", required=True)),
+     (("-o", "--outpath"), dict(required=True))],
+    "{n} sequences packed", "converters3")
+cmd_genbiobed = _simple_cmd(
+    "genbiobed", _IO, "{n} features packed", "converters3")
+cmd_genbiomultialign = _simple_cmd(
+    "genbiomultialign",
+    [(("-i", "--inpaths"), dict(action="append", required=True)),
+     (("-o", "--outpath"), dict(required=True))],
+    "{n} alignment blocks packed", "converters3")
+cmd_fasta2struct = _simple_cmd(
+    "fasta2struct",
+    _IO + [(("-c", "--param"), dict(default="minorgroove",
+                                    choices=("energy", "minorgroove",
+                                             "majorgroove", "twist", "roll",
+                                             "tilt", "rise", "slide",
+                                             "shift"))),
+           (("-p", "--params-file"), dict(default=None)),
+           (("-C", "--winlen"), dict(type=int, default=0)),
+           (("-n", "--trunc"), dict(type=int, default=0))],
+    "{n} conformation profiles", "converters3")
 
 
 cmd_quickcount = _simple_cmd(
@@ -2084,6 +2107,10 @@ SUBCOMMANDS = {
     "agp2genome": cmd_agp2genome,
     "dmpbioseq": cmd_dmpbioseq,
     "hammingdist": cmd_hammingdist,
+    "genbioseq": cmd_genbioseq,
+    "genbiobed": cmd_genbiobed,
+    "genbiomultialign": cmd_genbiomultialign,
+    "fasta2struct": cmd_fasta2struct,
     "ecreads": cmd_ecreads,
     "swservice": cmd_swservice,
     "pbfilter": cmd_pbfilter,

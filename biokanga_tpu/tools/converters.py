@@ -68,10 +68,16 @@ def csv2fasta(inpath: str, outpath: str, seq_col: str = "seq",
 
 
 def fasta2bed(inpath: str, outpath: str) -> int:
+    """Full-length single-exon BED12 row per sequence (the reference's
+    fasta2bed.cpp:256 format string)."""
     n = 0
     with open(outpath, "w") as out:
         for rec in read_seqs(inpath):
-            out.write(f"{rec.name}\t0\t{len(rec.codes)}\t{rec.name}\t0\t+\n")
+            name = rec.name.split()[0]
+            ln = len(rec.codes)
+            out.write(
+                f"{name}\t0\t{ln}\t{name}\t0\t+\t0\t{ln}\t0\t1\t{ln},\t0\n"
+            )
             n += 1
     return n
 

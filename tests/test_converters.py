@@ -29,7 +29,7 @@ def test_csv2fasta_and_fasta2bed(tmp_path):
     assert [r.name for r in recs] == ["s1", "s2"]
     bed = str(tmp_path / "s.bed")
     assert main(["fasta2bed", "-i", fa, "-o", bed]) == 0
-    assert open(bed).read().splitlines()[0] == "s1\t0\t4\ts1\t0\t+"
+    assert open(bed).read().splitlines()[0] == "s1\t0\t4\ts1\t0\t+\t0\t4\t0\t1\t4,\t0"
 
 
 def test_bedmerge_and_filter(tmp_path):
