@@ -45,42 +45,48 @@ class BisulfiteAligner:
         return self._merge(r_ct, r_ga, lengths)
 
     def _merge(self, r_ct: dict, r_ga: dict, lengths: np.ndarray) -> dict:
-        """Union the two engines' top-K lists; re-apply the margin rule."""
-        ap = self.ct.params
-        mm = np.concatenate([r_ct["ml_mm"], r_ga["ml_mm"]], axis=1).astype(
-            np.int32)
-        loci = np.concatenate([r_ct["ml_loci"], r_ga["ml_loci"]], axis=1)
-        K = r_ct["ml_mm"].shape[1]
-        strand = np.zeros_like(mm, dtype=bool)
-        strand[:, K:] = True  # GA engine == bottom strand (reported as rc)
+        return merge_two_pass(r_ct, r_ga, lengths, self.ct.params)
 
-        order = np.argsort(mm, axis=1, kind="stable")
-        mm_s = np.take_along_axis(mm, order, axis=1)
-        loci_s = np.take_along_axis(loci, order, axis=1)
-        str_s = np.take_along_axis(strand, order, axis=1)
 
-        if ap.max_subs_per100 == 0:
-            max_tot = np.zeros(len(lengths), np.int32)
-        else:
-            max_tot = np.clip(
-                np.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5
-                         ).astype(np.int32), 1, 63)
-        best = mm_s[:, 0]
-        next_mm = mm_s[:, 1] if mm_s.shape[1] > 1 else np.full_like(best, 255)
-        inst = (mm == best[:, None]).sum(axis=1)
-        any_hit = best <= max_tot
-        unique = any_hit & ((next_mm - best) >= ap.min_edit_dist)
-        return {
-            "unique": unique,
-            "any_hit": any_hit,
-            "best_mm": np.minimum(best, 255).astype(np.uint8),
-            "inst": inst.astype(np.int32),
-            "locus": loci_s[:, 0].astype(np.int32),
-            "is_rc": str_s[:, 0],
-            "overflow": np.asarray(r_ct["overflow"]) | np.asarray(
-                r_ga["overflow"]),
-            "ml_loci": loci_s[:, : max(1, ap.max_multi)],
-            "ml_mm": np.minimum(mm_s[:, : max(1, ap.max_multi)],
-                                255).astype(np.uint8),
-            "ml_rc": str_s[:, : max(1, ap.max_multi)],
-        }
+def merge_two_pass(r_fwd: dict, r_alt: dict, lengths: np.ndarray,
+                   ap) -> dict:
+    """Union two engines' top-K lists (forward pass + alternate-strand
+    pass) and re-apply the best/next-best MMDelta margin rule.  Shared by
+    the bisulfite (CT/GA) and SOLiD colorspace (fwd/reversed) aligners."""
+    mm = np.concatenate([r_fwd["ml_mm"], r_alt["ml_mm"]], axis=1).astype(
+        np.int32)
+    loci = np.concatenate([r_fwd["ml_loci"], r_alt["ml_loci"]], axis=1)
+    K = r_fwd["ml_mm"].shape[1]
+    strand = np.zeros_like(mm, dtype=bool)
+    strand[:, K:] = True  # alternate pass == bottom strand (reported as rc)
+
+    order = np.argsort(mm, axis=1, kind="stable")
+    mm_s = np.take_along_axis(mm, order, axis=1)
+    loci_s = np.take_along_axis(loci, order, axis=1)
+    str_s = np.take_along_axis(strand, order, axis=1)
+
+    if ap.max_subs_per100 == 0:
+        max_tot = np.zeros(len(lengths), np.int32)
+    else:
+        max_tot = np.clip(
+            np.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5
+                     ).astype(np.int32), 1, 63)
+    best = mm_s[:, 0]
+    next_mm = mm_s[:, 1] if mm_s.shape[1] > 1 else np.full_like(best, 255)
+    inst = (mm == best[:, None]).sum(axis=1)
+    any_hit = best <= max_tot
+    unique = any_hit & ((next_mm - best) >= ap.min_edit_dist)
+    return {
+        "unique": unique,
+        "any_hit": any_hit,
+        "best_mm": np.minimum(best, 255).astype(np.uint8),
+        "inst": inst.astype(np.int32),
+        "locus": loci_s[:, 0].astype(np.int32),
+        "is_rc": str_s[:, 0],
+        "overflow": np.asarray(r_fwd["overflow"]) | np.asarray(
+            r_alt["overflow"]),
+        "ml_loci": loci_s[:, : max(1, ap.max_multi)],
+        "ml_mm": np.minimum(mm_s[:, : max(1, ap.max_multi)],
+                            255).astype(np.uint8),
+        "ml_rc": str_s[:, : max(1, ap.max_multi)],
+    }

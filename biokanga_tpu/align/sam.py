@@ -148,6 +148,8 @@ def write_alignments_sam(
     result,        # dict from AlignEngine.align_batch
     write_header=True,
     report_unmapped=True,
+    space="base",  # "color": SOLiD reads; rc = reversal (no complement),
+                   # SEQ is double-encoded colorspace (colors as ACGT)
 ):
     """Write one aligned block as SAM records.
 
@@ -182,7 +184,11 @@ def write_alignments_sam(
             codes = reads[i, :L]
             if unique[i]:
                 rc = bool(is_rc[i])
-                seq = codes_to_ascii(revcomp(codes) if rc else codes).decode()
+                if rc and space == "color":
+                    seq = codes_to_ascii(codes[::-1]).decode()
+                else:
+                    seq = codes_to_ascii(
+                        revcomp(codes) if rc else codes).decode()
                 clip5 = int(result["clip5"][i]) if "clip5" in result else 0
                 clip3 = int(result["clip3"][i]) if "clip3" in result else 0
                 if clip5 or clip3:  # chimeric soft-clips (AdaptiveTrim)

@@ -45,6 +45,9 @@ def cmd_index(argv: list[str]) -> int:
                    help="0 standard; 1 bisulfite methylation index "
                         "(kangax -m1 role); 2 synthetic pseudorandom "
                         "genome benchmark (kangax -m2 role)")
+    p.add_argument("-C", "--colorspace", action="store_true",
+                   help="SOLiD colorspace index (kangax -C role): genome "
+                        "is dibase-color transformed before indexing")
     p.add_argument("-s", "--synthetic-mbp", type=int, default=100,
                    help="mode 2: synthetic genome size in Mbp")
     p.add_argument("--lut-bases", type=int, default=12)
@@ -80,6 +83,16 @@ def cmd_index(argv: list[str]) -> int:
         log.info("bisulfite index written to %s (%.1fs)", args.out,
                  sw.elapsed())
         return 0
+    elif args.colorspace:
+        from .index.build import build_colorspace_index
+        from .seq.fasta import read_seqs
+
+        if not args.infasta:
+            p.error("-i/--infasta required for -C")
+        seqs = []
+        for path in args.infasta:
+            seqs.extend((r.name, r.codes) for r in read_seqs(path))
+        idx = build_colorspace_index(seqs, lut_bases=args.lut_bases)
     else:
         if not args.infasta:
             p.error("-i/--infasta required unless -m2")
@@ -224,6 +237,41 @@ def cmd_align(argv: list[str]) -> int:
     didx = to_device(idx)
     log.info("index loaded: %d bp, %d entries (%.1fs)",
              idx.total_len, idx.num_entries, sw.mark("load"))
+
+    if idx.space == "color":
+        # SOLiD colorspace index: color reads, two-pass sense engine
+        # (kanga align colorspace mode; SfxArrayV2.cpp:300-380)
+        from .align.colorspace import ColorspaceAligner
+        from .seq.fasta import read_csfasta_blocks
+
+        cs_params = AlignParams(
+            max_subs_per100=args.substitutions,
+            min_edit_dist=args.editdelta, max_multi=args.maxmulti,
+            mode=Sensitivity(args.mode), strand="sense",
+            batch_size=args.batch_size,
+        )
+        cs = ColorspaceAligner(AlignEngine(didx, cs_params))
+        n_total = n_unique = 0
+        with open(args.out, "w") as out:
+            first = True
+            for path in args.inreads:
+                for blk in read_csfasta_blocks(path,
+                                               block_size=args.batch_size):
+                    codes, lens = pad_rows(blk.codes, blk.lengths)
+                    res = cs.align_batch(codes, lens)
+                    write_alignments_sam(
+                        out, idx.entry_names, idx.entry_starts,
+                        blk.names, blk.codes, blk.lengths, res,
+                        write_header=first, space="color",
+                    )
+                    first = False
+                    n_total += len(blk.names)
+                    n_unique += int(res["unique"].sum())
+        log.info("colorspace-aligned %d reads: %d unique (%.2f%%) in %.1fs",
+                 n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
+                 sw.elapsed())
+        return 0
+
     bam_out = None
     if args.out.endswith(".bam"):
         bam_out = args.out
@@ -519,6 +567,8 @@ def cmd_simreads(argv: list[str]) -> int:
     p.add_argument("-H", "--hammings", default=None,
                    help=".hmg.npz from uhamming; read descriptors carry "
                         "the source window's min-Hamming")
+    p.add_argument("-C", "--colorspace", action="store_true",
+                   help="emit SOLiD colorspace reads (.csfasta, primer T)")
     args = p.parse_args(argv)
     from .seq.fasta import read_seqs, write_fasta, write_fastq
     from .sim.simreads import simulate_reads
@@ -537,7 +587,11 @@ def cmd_simreads(argv: list[str]) -> int:
     )
 
     def write(path, recs):
-        if path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+        if args.colorspace:
+            from .seq.fasta import write_csfasta
+
+            write_csfasta(path, recs)
+        elif path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
             write_fastq(path, ((n, c, None) for n, c in recs))
         else:
             write_fasta(path, recs)

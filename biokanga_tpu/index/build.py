@@ -48,6 +48,7 @@ class GenomeIndex:
     key_lo: np.ndarray       # (n,) uint32 — bases 16..31 at pos_sorted
     lut: np.ndarray          # (4^P + 1,) int — bucket starts by P-base prefix
     lut_bases: int
+    space: str = "base"      # "base" | "color" (SOLiD colorspace transform)
 
     @property
     def total_len(self) -> int:
@@ -192,6 +193,22 @@ def load_bisulfite_index(path: str) -> tuple[GenomeIndex, GenomeIndex]:
         return out[0], out[1]
 
 
+def build_colorspace_index(
+    seqs: list[tuple[str, np.ndarray]],
+    lut_bases: int = DEFAULT_LUT_BASES,
+) -> GenomeIndex:
+    """Colorspace index (kangax -C role, SfxArrayV2.cpp:300-380): each
+    entry is transformed to SOLiD dibase colors (length L-1) before the
+    standard key/LUT build.  Color loci map 1:1 to base-space starts."""
+    from ..seq.encode import to_colorspace
+
+    idx = build_index(
+        [(n, to_colorspace(s)) for n, s in seqs], lut_bases=lut_bases
+    )
+    idx.space = "color"
+    return idx
+
+
 def build_index_from_fasta(
     paths: list[str] | str, lut_bases: int = DEFAULT_LUT_BASES
 ) -> GenomeIndex:
@@ -211,6 +228,7 @@ def save_index(idx: GenomeIndex, path: str) -> None:
         "format_version": INDEX_FORMAT_VERSION,
         "entry_names": idx.entry_names,
         "lut_bases": idx.lut_bases,
+        "space": idx.space,
         "created_unix": time.time(),
     }
     np.savez(
@@ -239,4 +257,5 @@ def load_index(path: str) -> GenomeIndex:
             key_lo=z["key_lo"],
             lut=z["lut"],
             lut_bases=int(meta["lut_bases"]),
+            space=meta.get("space", "base"),
         )

@@ -64,6 +64,19 @@ def ga_collapse(codes: np.ndarray) -> np.ndarray:
     return _GA[np.clip(codes, 0, 4)]
 
 
+def to_colorspace(codes: np.ndarray) -> np.ndarray:
+    """SOLiD colorspace transform of a base-code sequence: color[i] =
+    dibase code of (b[i], b[i+1]), which under A=0,C=1,G=2,T=3 is the XOR
+    of the two base codes (the reference's colorspace index transform,
+    SfxArrayV2.cpp:300-380).  Length L -> L-1; any step touching an N
+    yields 4 (no-call '.').  Colors are strand-symmetric: the colorspace
+    of the reverse complement is the reversed color string."""
+    c = np.asarray(codes, dtype=np.int8)
+    a, b = c[:-1], c[1:]
+    valid = (a >= 0) & (a < 4) & (b >= 0) & (b < 4)
+    return np.where(valid, a ^ b, 4).astype(np.int8)
+
+
 def revcomp_jnp(codes):
     """Reverse complement on device: A<->T, C<->G via (3 - c), N stays N."""
     import jax.numpy as jnp
