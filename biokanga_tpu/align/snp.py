@@ -296,6 +296,89 @@ def write_haplotypes_csv(path, haps, order=2):
 _B2A = "ACGTN"
 
 
+CENTROID_FLANK = 3  # cSNPCentfFlankLen (Aligner.h:30)
+CENTROID_LEN = CENTROID_FLANK * 2 + 1
+
+
+def snp_centroids(counts: np.ndarray, genome_codes: np.ndarray,
+                  calls: list["SNPCall"], entry_names, entry_starts,
+                  min_reads: int = 5):
+    """SNP centroid distribution (Aligner.cpp:6936-6952,7559-7587,8003):
+    per 7-mer genome context, the number of adequately-covered loci
+    (NumInsts) and per-SNP ref/non-ref base count sums.
+
+    Returns (num_insts, num_snps, ref_cnt, nonref_cnts) arrays of shape
+    (4^7,) / (4^7, 5); vectorized sliding-window packing (no per-locus
+    Python loop)."""
+    g = np.asarray(genome_codes, dtype=np.int64)
+    n = g.shape[0]
+    K = CENTROID_LEN
+    n_els = 4 ** K
+    num_insts = np.zeros(n_els, dtype=np.int64)
+    num_snps = np.zeros(n_els, dtype=np.int64)
+    ref_cnt = np.zeros(n_els, dtype=np.int64)
+    nonref = np.zeros((n_els, 5), dtype=np.int64)
+    if n < K:
+        return num_insts, num_snps, ref_cnt, nonref
+
+    # centroid index for every center locus (first base most significant,
+    # matching the reference's shift order)
+    valid = np.ones(n - K + 1, dtype=bool)
+    cidx = np.zeros(n - K + 1, dtype=np.int64)
+    for j in range(K):
+        b = g[j : n - K + 1 + j]
+        valid &= b < 4
+        cidx = (cidx << 2) | np.clip(b, 0, 3)
+    centers = np.arange(CENTROID_FLANK, n - CENTROID_FLANK)
+    covered = np.asarray(counts).sum(axis=1)[centers] >= min_reads
+    sel = covered & valid
+    np.add.at(num_insts, cidx[sel], 1)
+
+    starts = np.asarray(entry_starts)
+    name_to_ent = {nm: i for i, nm in enumerate(entry_names)}
+    cnts = np.asarray(counts)
+    for c in calls:
+        gpos = int(starts[name_to_ent[c.chrom]]) + c.loci
+        w = gpos - CENTROID_FLANK
+        if w < 0 or w >= len(cidx) or not valid[w]:
+            continue
+        ci = cidx[w]
+        num_snps[ci] += 1
+        ref_cnt[ci] += int(cnts[gpos, c.ref_base])
+        for b in range(4):
+            if b != c.ref_base:
+                nonref[ci, b] += int(cnts[gpos, b])
+    return num_insts, num_snps, ref_cnt, nonref
+
+
+def write_snp_centroids_csv(path_or_file, num_insts, num_snps, ref_cnt,
+                            nonref):
+    """Reference centroid CSV layout (Aligner.cpp:8014-8027)."""
+    close = False
+    f = path_or_file
+    if isinstance(f, str):
+        f = open(f, "w")
+        close = True
+    try:
+        f.write('"CentroidID","Seq","NumInsts","NumSNPs","RefBase",'
+                '"RefBaseCnt","BaseA","BaseC","BaseG","BaseT","BaseN"\n')
+        K = CENTROID_LEN
+        for ci in range(4 ** K):
+            seq = "".join(
+                _B2A[(ci >> (2 * (K - 1 - j))) & 3] for j in range(K)
+            )
+            f.write(
+                f'{ci + 1},"{seq}",{int(num_insts[ci])},{int(num_snps[ci])},'
+                f'"{seq[CENTROID_FLANK]}",{int(ref_cnt[ci])},'
+                f"{int(nonref[ci, 0])},{int(nonref[ci, 1])},"
+                f"{int(nonref[ci, 2])},{int(nonref[ci, 3])},"
+                f"{int(nonref[ci, 4])}\n"
+            )
+    finally:
+        if close:
+            f.close()
+
+
 def write_snps_csv(path_or_file, calls, species="TargSpecies"):
     """Reference CSV column layout (Aligner.cpp:7648)."""
     close = False

@@ -137,6 +137,9 @@ def cmd_align(argv: list[str]) -> int:
                    help="write DiSNP haplotype CSV here (needs -O)")
     p.add_argument("--trisnp", default=None,
                    help="write TriSNP haplotype CSV here (needs -O)")
+    p.add_argument("--snpcentroid", default=None,
+                   help="write SNP centroid (7-mer context) distribution "
+                        "CSV here (needs -O; Aligner.cpp:8003 role)")
     p.add_argument("-q", "--sumrslts", default=None,
                    help="log experiment/params/results to this SQLite DB")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
@@ -526,6 +529,15 @@ def cmd_align(argv: list[str]) -> int:
         if args.snpvcf:
             write_snps_vcf(args.snpvcf, calls, idx.entry_names,
                            np.diff(idx.entry_starts))
+        if args.snpcentroid:
+            from .align.snp import snp_centroids, write_snp_centroids_csv
+
+            write_snp_centroids_csv(
+                args.snpcentroid,
+                *snp_centroids(counts, idx.codes, calls, idx.entry_names,
+                               idx.entry_starts,
+                               min_reads=args.minsnpreads),
+            )
         log.info("called %d SNPs -> %s", len(calls), args.snpfile)
     if bam_out:
         import os

@@ -88,3 +88,44 @@ def test_no_snps_on_clean_reads(snp_setup):
     calls = call_snps(counts, match, mismatch, idx.codes,
                       idx.entry_names, idx.entry_starts, SNPParams())
     assert calls == []
+
+
+def test_snp_centroids_accumulation():
+    import numpy as np
+
+    from biokanga_tpu.align.snp import (
+        SNPCall,
+        snp_centroids,
+        write_snp_centroids_csv,
+    )
+
+    # genome: ACGTACGTACGT...  the 7-mer centered at locus 5 is g[2..8]
+    # = GTACGTA, ref base g[5] = C
+    g = np.tile(np.array([0, 1, 2, 3], dtype=np.int8), 5)
+    counts = np.zeros((len(g), 4), dtype=np.int32)
+    counts[5] = [0, 9, 1, 0]  # covered locus 5 (ref C), alt G
+    counts[9] = [0, 10, 0, 0]  # covered locus 9, no SNP
+    call = SNPCall(chrom="c", loci=5, ref_base=1, tot_bases=10, nonref=1,
+                   base_cnts=counts[5], pvalue=1e-9, bkgnd_rate=0.01,
+                   win_bases=100, win_mm=1, rank=1)
+    ni, ns, rc, nr = snp_centroids(
+        counts, g, [call], ["c"], np.array([0, len(g)]), min_reads=5)
+    # expected centroid index for GTACGTA (first base most significant)
+    ci = 0
+    for b in [2, 3, 0, 1, 2, 3, 0]:
+        ci = (ci << 2) | b
+    assert ni[ci] >= 1 and ns[ci] == 1
+    assert rc[ci] == 9 and nr[ci, 2] == 1 and nr[ci, 0] == 0
+    assert ns.sum() == 1
+    # two covered loci total
+    assert ni.sum() == 2
+
+    import io
+
+    buf = io.StringIO()
+    write_snp_centroids_csv(buf, ni, ns, rc, nr)
+    lines = buf.getvalue().splitlines()
+    assert len(lines) == 4**7 + 1
+    row = lines[ci + 1].split(",")
+    assert row[0] == str(ci + 1) and row[1] == '"GTACGTA"'
+    assert row[4] == '"C"'  # center base
