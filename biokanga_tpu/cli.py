@@ -2139,6 +2139,105 @@ def cmd_alignsbs(argv):
     return 0
 
 
+# --------------------------------------------- chromatin/structure family --
+# (SURVEY §2.6 chromatin/structure tools; see tools/chromatin_tools.py for
+# per-tool reference citations)
+
+cmd_dnasitepotential = _simple_cmd(
+    "dna_site_potential",
+    [(("-i", "--reads-path"), dict(required=True)),
+     (("-I", "--genome-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-s", "--strand"), dict(default=None, choices=("+", "-")))],
+    "{n} octamer rows", "chromatin_tools")
+cmd_rnasitepotential = _simple_cmd(
+    "rna_site_potential",
+    [(("-i", "--reads-path"), dict(required=True)),
+     (("-I", "--genome-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-s", "--strand"), dict(default=None, choices=("+", "-")))],
+    "{n} octamer rows", "chromatin_tools")
+cmd_simulatemnase = _simple_cmd(
+    "simulate_mnase",
+    [(("-i", "--genome-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-I", "--prefs-path"), dict(default=None)),
+     (("-m", "--mode"), dict(type=int, default=0, choices=(0, 1, 2))),
+     (("-n", "--numreads"), dict(type=int, default=10000)),
+     (("-l", "--readlen"), dict(type=int, default=36)),
+     (("-c", "--cutmin"), dict(type=int, default=122)),
+     (("-C", "--cutmax"), dict(type=int, default=172)),
+     (("-s", "--strand"), dict(default=None, choices=("+", "-"))),
+     (("--seed",), dict(type=int, default=1))],
+    "{n} simulated MNase reads", "chromatin_tools")
+cmd_prednucleosomes = _simple_cmd(
+    "pred_nucleosomes",
+    [(("-i", "--reads-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-g", "--genome-path"), dict(default=None)),
+     (("-I", "--prefs-path"), dict(default=None)),
+     (("-M", "--fmt"), dict(type=int, default=0)),
+     (("-a", "--movavg"), dict(type=int, default=10)),
+     (("-A", "--basewin"), dict(type=int, default=250)),
+     (("-t", "--title"), dict(default="prednucs")),
+     (("--min-score",), dict(type=float, default=1.0))],
+    "{n} track rows", "chromatin_tools")
+cmd_predconfnucs = _simple_cmd(
+    "pred_conf_nucs",
+    [(("-i", "--genome-path"), dict(required=True)),
+     (("-I", "--conf-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-M", "--fmt"), dict(type=int, default=0)),
+     (("-a", "--movavg"), dict(type=int, default=10)),
+     (("-A", "--basewin"), dict(type=int, default=250)),
+     (("-t", "--title"), dict(default="confnucs"))],
+    "{n} track rows", "chromatin_tools")
+cmd_genstructprofile = _simple_cmd(
+    "gen_struct_profile",
+    [(("-i", "--fasta-path"), dict(required=True)),
+     (("-p", "--params-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("--param",), dict(default="minorgroove")),
+     (("-T", "--trunclength"), dict(type=int, default=147)),
+     (("-u", "--ofsstart"), dict(type=int, default=0)),
+     (("-n", "--nsamples"), dict(type=int, default=0))],
+    "{n} profiles", "chromatin_tools")
+cmd_genstructstats = _simple_cmd(
+    "gen_struct_stats",
+    [(("-i", "--params-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-s", "--sort-flanking"), dict(action="store_true"))],
+    "{n} octamer rows", "chromatin_tools")
+cmd_gennucstats = _simple_cmd(
+    "gen_nuc_stats",
+    [(("-i", "--bkg-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-I", "--sample-path"), dict(default=None)),
+     (("-b", "--bkgdyadofs"), dict(type=int, default=73)),
+     (("-s", "--smpldyadofs"), dict(type=int, default=73)),
+     (("-w", "--winddyad"), dict(type=int, default=5))],
+    "{n} dyads", "chromatin_tools")
+cmd_gencomposition = _simple_cmd(
+    "gen_composition",
+    [(("-i", "--genome-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-n", "--nmer"), dict(type=int, default=2))],
+    "{n} composition rows", "chromatin_tools")
+cmd_gencentroidmetrics = _simple_cmd(
+    "gen_centroid_metrics",
+    [(("-i", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-n", "--nmer"), dict(type=int, default=5)),
+     (("-r", "--ref-species"), dict(default=None))],
+    "{n} oligo rows", "chromatin_tools")
+cmd_proccentroids = _simple_cmd(
+    "proc_centroids",
+    [(("-i", "--inpath"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-m", "--mode"), dict(type=int, default=0))],
+    "{n} centroid rows", "chromatin_tools")
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
@@ -2220,6 +2319,17 @@ SUBCOMMANDS = {
     "ssr": cmd_ssr,
     "filtchrom": cmd_filtchrom,
     "remaploci": cmd_remaploci,
+    "dnaseqsitepotential": cmd_dnasitepotential,
+    "rnaseqsitepotential": cmd_rnasitepotential,
+    "simulatemnase": cmd_simulatemnase,
+    "prednucleosomes": cmd_prednucleosomes,
+    "predconfnucs": cmd_predconfnucs,
+    "genstructprofile": cmd_genstructprofile,
+    "genstructstats": cmd_genstructstats,
+    "gennucstats": cmd_gennucstats,
+    "gencomposition": cmd_gencomposition,
+    "gencentroidmetrics": cmd_gencentroidmetrics,
+    "proccentroids": cmd_proccentroids,
 }
 
 
