@@ -2238,6 +2238,124 @@ cmd_proccentroids = _simple_cmd(
     "{n} centroid rows", "chromatin_tools")
 
 
+# --------------------------------------------------- conservation family --
+# (SURVEY §2.6 comparative-genomics/conservation tools; per-tool reference
+# citations in tools/conservation.py)
+
+cmd_genhyperconserved = _simple_cmd(
+    "gen_hyperconserved",
+    [(("-i", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-O", "--cores-path"), dict(default=None)),
+     (("-r", "--ref-species"), dict(default=None)),
+     (("-s", "--species"), dict(action="append", default=None)),
+     (("-y", "--min-ident"), dict(type=int, default=90)),
+     (("-n", "--min-ultra-len"), dict(type=int, default=50)),
+     (("-N", "--min-hyper-len"), dict(type=int, default=0)),
+     (("-X", "--max-mismatches"), dict(type=int, default=100)),
+     (("-j", "--indels-as-mismatches"), dict(action="store_true")),
+     (("-k", "--slough-ref-indels"), dict(action="store_true"))],
+    "{n} conserved elements", "conservation")
+cmd_genultras = _simple_cmd(
+    "gen_ultras",
+    [(("-i", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-O", "--cores-path"), dict(default=None)),
+     (("-r", "--ref-species"), dict(default=None)),
+     (("-s", "--species"), dict(action="append", default=None)),
+     (("-n", "--min-ultra-len"), dict(type=int, default=50))],
+    "{n} ultra elements", "conservation")
+cmd_genhyperdropouts = _simple_cmd(
+    "gen_hyperdropouts",
+    [(("-i", "--ref-path"), dict(required=True)),
+     (("-I", "--rel-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-p", "--mode"), dict(type=int, default=0, choices=(0, 1, 2, 3)))],
+    "{n} elements", "conservation")
+cmd_genalignstats = _simple_cmd(
+    "gen_align_stats",
+    [(("-i", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True))],
+    "{n} species rows", "conservation")
+cmd_genalignconf = _simple_cmd(
+    "gen_align_conf",
+    [(("-i", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-m", "--mode"), dict(type=int, default=0, choices=(0, 1, 2)))],
+    "{n} blocks", "conservation")
+cmd_genalignref2relloci = _simple_cmd(
+    "gen_align_ref2relloci",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-I", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-r", "--ref-species"), dict(default=None))],
+    "{n} mapped loci", "conservation")
+cmd_genalignloci2core = _simple_cmd(
+    "gen_align_loci2core",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-I", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-d", "--dist-segs"), dict(type=int, default=10))],
+    "{n} profile rows", "conservation")
+cmd_loci2phylip = _simple_cmd(
+    "loci2phylip",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-I", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-x", "--mode"), dict(type=int, default=0, choices=(0, 1)))],
+    "{n} phylip blocks", "conservation")
+cmd_genrollups = _simple_cmd(
+    "gen_rollups",
+    [(("-i", "--inpaths"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-m", "--mode"), dict(type=int, default=0))],
+    "{n} files rolled up", "conservation")
+cmd_genelementseq = _simple_cmd(
+    "gen_element_seq",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-I", "--genome-path"), dict(required=True)),
+     (("-o", "--out-fasta"), dict(required=True)),
+     (("-f", "--flank"), dict(type=int, default=0))],
+    "{n} element sequences", "conservation")
+cmd_genloci2gene = _simple_cmd(
+    "gen_loci2gene",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-b", "--bed-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-L", "--updnstream"), dict(type=int, default=2000))],
+    "{n} loci classified", "conservation")
+cmd_genseqcandidates = _simple_cmd(
+    "gen_seq_candidates",
+    [(("-i", "--fasta-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("--min-len",), dict(type=int, default=50)),
+     (("--max-len",), dict(type=int, default=1 << 30)),
+     (("--max-n-pct",), dict(type=float, default=5.0)),
+     (("--min-gc",), dict(type=float, default=0.0)),
+     (("--max-gc",), dict(type=float, default=100.0))],
+    "{n} candidates", "conservation")
+cmd_genelementprofiles = _simple_cmd(
+    "gen_element_profiles",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-I", "--algn-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-d", "--segs"), dict(type=int, default=10))],
+    "{n} element profiles", "conservation")
+cmd_processcsvfiles = _simple_cmd(
+    "process_csv_files",
+    [(("-i", "--inpaths"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-m", "--op"), dict(default="merge", choices=("merge", "common")))],
+    "{n} loci", "conservation")
+cmd_gennormwiggle = _simple_cmd(
+    "gen_norm_wiggle",
+    [(("-i", "--loci-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-m", "--mode"), dict(type=int, default=0, choices=(0, 1))),
+     (("-s", "--span"), dict(type=int, default=1))],
+    "{n} wiggle values", "conservation")
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
@@ -2330,6 +2448,22 @@ SUBCOMMANDS = {
     "gencomposition": cmd_gencomposition,
     "gencentroidmetrics": cmd_gencentroidmetrics,
     "proccentroids": cmd_proccentroids,
+    "genhyperconserved": cmd_genhyperconserved,
+    "genultras": cmd_genultras,
+    "genhyperdropouts": cmd_genhyperdropouts,
+    "genalignstats": cmd_genalignstats,
+    "genalignconf": cmd_genalignconf,
+    "genalignref2relloci": cmd_genalignref2relloci,
+    "genalignloci2core": cmd_genalignloci2core,
+    "loci2phylip": cmd_loci2phylip,
+    "genrollups": cmd_genrollups,
+    "genelementseq": cmd_genelementseq,
+    "genloci2gene": cmd_genloci2gene,
+    "genseqcandidates": cmd_genseqcandidates,
+    "genelementprofiles": cmd_genelementprofiles,
+    "processcsvfiles": cmd_processcsvfiles,
+    "gennormwiggle": cmd_gennormwiggle,
+    "maploci2features": cmd_maploci,
 }
 
 
