@@ -2356,6 +2356,23 @@ cmd_gennormwiggle = _simple_cmd(
     "{n} wiggle values", "conservation")
 
 
+cmd_goenrichment = _simple_cmd(
+    "go_enrichment_csv",
+    [(("-i", "--study-path"), dict(required=True)),
+     (("-I", "--pop-path"), dict(required=True)),
+     (("-b", "--obo-path"), dict(required=True)),
+     (("-a", "--gaf-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True)),
+     (("-n", "--min-count"), dict(type=int, default=2))],
+    "{n} enriched terms", "go_tools")
+cmd_goassoc = _simple_cmd(
+    "go_assoc_dump",
+    [(("-b", "--obo-path"), dict(required=True)),
+     (("-a", "--gaf-path"), dict(required=True)),
+     (("-o", "--outpath"), dict(required=True))],
+    "{n} associations", "go_tools")
+
+
 SUBCOMMANDS = {
     "index": cmd_index,
     "uhamming": cmd_uhamming,
@@ -2464,6 +2481,8 @@ SUBCOMMANDS = {
     "processcsvfiles": cmd_processcsvfiles,
     "gennormwiggle": cmd_gennormwiggle,
     "maploci2features": cmd_maploci,
+    "goenrichment": cmd_goenrichment,
+    "goassoc": cmd_goassoc,
 }
 
 
