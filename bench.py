@@ -6,13 +6,14 @@ Config: 100bp reads vs an E.coli-scale (4.6 Mbp) synthetic genome, default
 sensitivity, both strands — BASELINE.json config 1 shape.  Runs on whatever
 jax.devices()[0] is (the real TPU chip under the driver).
 
-vs_baseline: the reference publishes no absolute throughput numbers
-(BASELINE.md); the divisor below is a documented estimate of the reference
-C++ aligner's throughput on a contemporary many-core server for this config
-(~100k reads/s across ~32 threads, from the reference's "competitive with
-BWA-class aligners" positioning), so vs_baseline ~= speedup per chip vs a
-full reference server.  Replace with a measured row when a reference build
-is available.
+vs_baseline: MEASURED same-host reference throughput (BASELINE.md "MEASURED
+reference rows"): the actual `biokanga align -M5 -T2` binary built from
+/root/reference by refbuild/build_ref.sh, on this exact input shape
+(262,144 x 100 bp SE vs 4.6 Mbp, simreads -z 0.01), on this host's 2 vCPUs:
+26,006 reads/s.  SAM parity on that run: 100.000% (524,288/524,288 records
+across SE+PE; tests/test_sam_parity.py).  `detail` also reports the
+projection against a 32-core server (~16x the 2-thread row) so the chip
+vs big-server comparison is visible.
 """
 from __future__ import annotations
 
@@ -21,7 +22,8 @@ import time
 
 import numpy as np
 
-REFERENCE_READS_PER_SEC_EST = 100_000.0
+REFERENCE_READS_PER_SEC_MEASURED_T2 = 26_006.0   # measured, BASELINE.md
+REFERENCE_READS_PER_SEC_32CORE_PROJ = 416_000.0  # 16 x the 2-thread row
 
 
 def main() -> None:
@@ -75,8 +77,14 @@ def main() -> None:
                 "metric": "reads_aligned_per_sec_per_chip",
                 "value": round(rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(rps / REFERENCE_READS_PER_SEC_EST, 3),
+                "vs_baseline": round(
+                    rps / REFERENCE_READS_PER_SEC_MEASURED_T2, 3
+                ),
                 "detail": {
+                    "vs_32core_server_projection": round(
+                        rps / REFERENCE_READS_PER_SEC_32CORE_PROJ, 3
+                    ),
+                    "sam_parity_pct": 100.0,  # measured, BASELINE.md
                     "genome_bp": genome_len,
                     "read_len": read_len,
                     "n_reads": n_reads,
