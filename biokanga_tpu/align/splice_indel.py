@@ -33,7 +33,7 @@ import numpy as np
 from ..ops.extend_packed import (
     BASES_PER_WORD,
     PackedGenome,
-    _extract_aligned_words,
+    gather_window_words,
     pack_reads,
 )
 
@@ -62,15 +62,11 @@ def _mismatch_indicators(pg: PackedGenome, loci, rcodes, rnlane, L, shift):
     locus + position + shift. loci: (B, C)."""
     W = rcodes.shape[-1]
     eff = loci + shift
-    R = pg.rows.shape[0]
-    r0 = jnp.clip(eff >> 7, 0, R - 1)
-    s = (eff & 127).astype(jnp.int32)
-    row = pg.rows[r0]
-    win = _extract_aligned_words(row, s, W)
+    win = gather_window_words(pg.rows, eff, W)
     x = win ^ rcodes[:, None, :]
     x = x | rnlane[:, None, :]
     if pg.n_rows is not None:
-        x = x | _extract_aligned_words(pg.n_rows[r0], s, W)
+        x = x | gather_window_words(pg.n_rows, eff, W)
     lanes = (x | (x >> 1)) & jnp.uint32(0x55555555)
     # unpack per-position bits: lane t (MSB-first) at bit 2*(15-t)
     t = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32)

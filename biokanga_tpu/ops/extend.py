@@ -5,8 +5,10 @@ per-candidate byte-wise mismatch counting inside
 CSfxArrayV3::LocateCoreMultiples (libbiokanga/SfxArrayV2.cpp:5693+).
 Instead of pointer-chasing one candidate at a time, we gather genome
 windows for ALL (read, candidate) pairs of a batch at once and reduce
-mismatch counts on the VPU.  v0 is pure XLA (gather + compare + reduce);
-the Pallas DMA-pipelined variant lives in ops/extend_pallas.py.
+mismatch counts on the VPU.  This dense path is pure XLA (gather +
+compare + reduce); the production fast path is the 2-bit packed variant
+in ops/extend_packed.py (one 64-byte row gather per candidate), kept in
+lockstep by tests/test_extend_packed.py.
 """
 from __future__ import annotations
 

@@ -16,8 +16,12 @@ libbiokanga/SfxArrayV2.cpp:5693+) with the N rule: any position where
 either side is N counts as a mismatch (genome N lanes are carried in a
 separate 2-bit "N plane", only materialised when the genome contains Ns).
 
-Reads longer than 128 bases fall back to the dense path (a strided
-multi-row variant follows for the 256 Kbp long-read regime).
+Reads longer than 128 bases use the strided multi-row gather
+(gather_window_words): rows overlap with stride 2 in row index =
+256 bases, so K = ceil((W+8)/16) row gathers cover any window of W
+packed words contiguously — the per-candidate HBM traffic stays one
+64-byte aligned row per 256 window bases, matching the reference's
+150 bp-PE envelope (biokanga/Aligner.h:16) up to MAX_PACKED_READ_LEN.
 """
 from __future__ import annotations
 
@@ -32,7 +36,10 @@ MM_INVALID = 255
 BASES_PER_WORD = 16
 ROW_STRIDE_BASES = 128          # row i starts at base 128*i
 ROW_WORDS = 16                  # 256 bases per (overlapping) row
-MAX_PACKED_READ_LEN = 128       # 127 max in-row offset + 128 <= 256 err: 255
+MAX_PACKED_READ_LEN = 4096      # multi-row gather cap (see PAD_ROWS)
+# genome rows padded past the end so r0 + 2*(K-1) stays in-bounds for the
+# largest multi-row window: W = 4096/16 = 256 words -> K = 17 -> 32 rows
+PAD_ROWS = 40
 
 
 @dataclass
@@ -69,8 +76,8 @@ def _overlap_rows(words: np.ndarray) -> np.ndarray:
 def pack_genome(codes: np.ndarray) -> PackedGenome:
     """Host-side packing of int8 codes into PackedGenome (numpy)."""
     n = len(codes)
-    # enough full rows that row (n >> 7) + its 16 words exist
-    n_words = 8 * ((n // ROW_STRIDE_BASES) + 4)
+    # enough full rows that row (n >> 7) + the widest multi-row window exist
+    n_words = 8 * ((n // ROW_STRIDE_BASES) + PAD_ROWS)
     total = n_words * BASES_PER_WORD
     b = np.zeros(total, dtype=np.uint32)
     b[:n] = codes.astype(np.uint32)
@@ -126,6 +133,33 @@ def _extract_aligned_words(row: jax.Array, s: jax.Array, W: int):
     return hi | lo
 
 
+def rows_for_words(W: int) -> int:
+    """Number of stride-2 overlapping rows needed to cover a W-word window
+    at any in-row offset (word offset 0..7): rows r0, r0+2, ... r0+2(K-1)
+    are contiguous words[8*r0 : 8*r0 + 16*K]; need 8 + W <= 16*K."""
+    return -(-(W + 8) // 16)
+
+
+def gather_window_words(rows: jax.Array, loci: jax.Array, W: int):
+    """Gather (..., W) uint32 base-aligned window words starting at base
+    `loci` from overlapping packed rows.  One 64-byte row gather per 256
+    window bases; word/bit alignment is static selects (no per-element
+    gathers).  Out-of-range loci read clamped rows — callers mask those
+    candidates invalid."""
+    R = rows.shape[0]
+    r0 = jnp.clip(loci >> 7, 0, R - 1)
+    s = (loci & 127).astype(jnp.int32)
+    K = rows_for_words(W)
+    if K == 1:
+        row = rows[r0]
+    else:
+        row = jnp.concatenate(
+            [rows[jnp.clip(r0 + 2 * k, 0, R - 1)] for k in range(K)],
+            axis=-1,
+        )
+    return _extract_aligned_words(row, s, W)
+
+
 def hamming_extend_packed(
     pg: PackedGenome,
     entry_starts: jax.Array,   # (E+1,) int32
@@ -139,9 +173,10 @@ def hamming_extend_packed(
     as ops/extend.hamming_extend but HBM-gather-optimal."""
     B, C = loci.shape
     W = rcodes.shape[1]
-    assert W <= 8, "packed path supports reads <= 128 bases"
+    assert W <= MAX_PACKED_READ_LEN // BASES_PER_WORD, (
+        "packed path supports reads <= MAX_PACKED_READ_LEN bases"
+    )
     n = pg.length
-    R = pg.rows.shape[0]
 
     # entry containment (identical to the dense path)
     starts32 = entry_starts.astype(jnp.int32)
@@ -150,15 +185,12 @@ def hamming_extend_packed(
     ent_b = jnp.searchsorted(starts32, last, side="right") - 1
     valid = valid & (loci >= 0) & (last < n) & (ent_a == ent_b)
 
-    r0 = jnp.clip(loci >> 7, 0, R - 1)          # (B, C) row index
-    s = (loci & 127).astype(jnp.int32)
-    row = pg.rows[r0]                            # ONE 64B gather / candidate
-    win = _extract_aligned_words(row, s, W)      # (B, C, W)
+    win = gather_window_words(pg.rows, loci, W)  # (B, C, W)
 
     x = win ^ rcodes[:, None, :]
     x = x | rnlane[:, None, :]
     if pg.n_rows is not None:
-        x = x | _extract_aligned_words(pg.n_rows[r0], s, W)
+        x = x | gather_window_words(pg.n_rows, loci, W)
 
     lanes = (x | (x >> 1)) & jnp.uint32(0x55555555)
 

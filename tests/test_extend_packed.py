@@ -13,10 +13,10 @@ from biokanga_tpu.ops.extend_packed import (
 
 
 @pytest.mark.parametrize("with_n", [False, True])
-@pytest.mark.parametrize("L", [100, 75, 128, 17])
+@pytest.mark.parametrize("L", [100, 75, 128, 17, 150, 300, 1500])
 def test_packed_matches_dense(with_n, L):
     rng = np.random.default_rng(L * 2 + with_n)
-    n = 5000
+    n = 5000 if L <= 300 else 20000
     codes = rng.integers(0, 4, size=n).astype(np.int8)
     if with_n:
         npos = rng.choice(n, size=60, replace=False)
