@@ -2,18 +2,18 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config: 100bp reads vs an E.coli-scale (4.6 Mbp) synthetic genome, default
-sensitivity, both strands — BASELINE.json config 1 shape.  Runs on whatever
-jax.devices()[0] is (the real TPU chip under the driver).
+Configs (BASELINE.md measured-reference shapes, same simreads inputs):
+  SE: 262,144 x 100 bp vs 4.6 Mbp synthetic genome, default sensitivity
+  PE: 262,144 pairs 2x100 bp, insert 200-500, orphan rescue on
 
 vs_baseline: MEASURED same-host reference throughput (BASELINE.md "MEASURED
 reference rows"): the actual `biokanga align -M5 -T2` binary built from
-/root/reference by refbuild/build_ref.sh, on this exact input shape
-(262,144 x 100 bp SE vs 4.6 Mbp, simreads -z 0.01), on this host's 2 vCPUs:
-26,006 reads/s.  SAM parity on that run: 100.000% (524,288/524,288 records
-across SE+PE; tests/test_sam_parity.py).  `detail` also reports the
-projection against a 32-core server (~16x the 2-thread row) so the chip
-vs big-server comparison is visible.
+/root/reference by refbuild/build_ref.sh on this host's 2 vCPUs:
+26,006 reads/s SE / 27,505 reads/s PE.  SAM parity on those runs: 100.000%
+(tests/test_sam_parity.py).  `detail` also reports the projection against a
+32-core server (~16x the 2-thread row) and an HBM roofline accounting of
+the hot path (row gathers/s and bytes/s vs the chip's peak) to substantiate
+where the kernel sits between bandwidth- and gather-issue-bound.
 """
 from __future__ import annotations
 
@@ -22,14 +22,17 @@ import time
 
 import numpy as np
 
-REFERENCE_READS_PER_SEC_MEASURED_T2 = 26_006.0   # measured, BASELINE.md
-REFERENCE_READS_PER_SEC_32CORE_PROJ = 416_000.0  # 16 x the 2-thread row
+REFERENCE_SE_READS_PER_SEC_T2 = 26_006.0   # measured, BASELINE.md
+REFERENCE_PE_READS_PER_SEC_T2 = 27_505.0   # measured, BASELINE.md
+REFERENCE_READS_PER_SEC_32CORE_PROJ = 416_000.0  # 16 x the 2-thread SE row
+HBM_PEAK_BYTES_PER_S = 819e9  # TPU v5e spec sheet
 
 
 def main() -> None:
     import jax
 
     from biokanga_tpu.align.params import AlignParams
+    from biokanga_tpu.align.pe import PEAligner, PEParams
     from biokanga_tpu.align.pipeline import AlignEngine
     from biokanga_tpu.index.build import build_index
     from biokanga_tpu.index.device import to_device
@@ -52,11 +55,11 @@ def main() -> None:
     )
     lengths = np.full(len(reads), read_len, dtype=np.int32)
 
-    engine = AlignEngine(to_device(idx), AlignParams(batch_size=batch))
+    params = AlignParams(batch_size=batch)
+    engine = AlignEngine(to_device(idx), params)
 
-    # warmup/compile
-    engine.align_batch(reads[:batch], lengths[:batch])
-
+    # ---- SE (the headline metric) ----
+    engine.align_batch(reads[:batch], lengths[:batch])  # warmup/compile
     dt = float("inf")
     n_unique = 0
     for _ in range(epochs):
@@ -71,16 +74,55 @@ def main() -> None:
         dt = min(dt, time.monotonic() - t0)
     rps = n_reads / dt
 
+    # HBM model of the hot path per read (both strands): candidate-run row
+    # gathers in _strand_candidates (2 x 256 B per core) + one 64 B packed
+    # row per extension candidate (ops/extend_packed.py).
+    dp = params.derive(read_len, genome_len)
+    S = len(dp.offsets)
+    C = params.max_cand_per_strand
+    bytes_per_read = 2 * (S * 2 * 256 + C * 64)
+    rows_per_read = 2 * (S * 2 + C)
+    hbm_bytes_per_s = rps * bytes_per_read
+    rows_per_s = rps * rows_per_read
+
+    # ---- PE (BASELINE config: pairs with insert 200-500, rescue on) ----
+    n_pairs = n_reads
+    _, pe_reads, _ = simulate_reads(
+        seqs, n_pairs, read_len=read_len, sub_rate=0.01, seed=17,
+        pe=True, insert_min=200, insert_max=500,
+    )
+    r1, r2 = pe_reads[0::2], pe_reads[1::2]
+    pe_len = np.full(n_pairs, read_len, dtype=np.int32)
+    pea = PEAligner(engine, PEParams(pair_min_len=100, pair_max_len=600))
+    pea.align_pairs(r1[:batch], pe_len[:batch], r2[:batch],
+                    pe_len[:batch])  # warmup
+    pe_dt = float("inf")
+    n_proper = 0
+    for _ in range(max(1, epochs // 2)):
+        t0 = time.monotonic()
+        n_proper = 0
+        for i in range(0, n_pairs, batch):
+            out = pea.align_pairs(
+                r1[i : i + batch], pe_len[i : i + batch],
+                r2[i : i + batch], pe_len[i : i + batch],
+            )
+            n_proper += int(out["proper"].sum())
+        pe_dt = min(pe_dt, time.monotonic() - t0)
+    pe_rps = 2 * n_pairs / pe_dt  # reads/s, matching the reference row
+
     print(
         json.dumps(
             {
                 "metric": "reads_aligned_per_sec_per_chip",
                 "value": round(rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(
-                    rps / REFERENCE_READS_PER_SEC_MEASURED_T2, 3
-                ),
+                "vs_baseline": round(rps / REFERENCE_SE_READS_PER_SEC_T2, 3),
                 "detail": {
+                    "pe_reads_per_sec": round(pe_rps, 1),
+                    "pe_vs_baseline": round(
+                        pe_rps / REFERENCE_PE_READS_PER_SEC_T2, 3
+                    ),
+                    "pe_proper_frac": round(n_proper / n_pairs, 4),
                     "vs_32core_server_projection": round(
                         rps / REFERENCE_READS_PER_SEC_32CORE_PROJ, 3
                     ),
@@ -91,6 +133,20 @@ def main() -> None:
                     "unique_frac": round(n_unique / n_reads, 4),
                     "index_build_s": round(t_index, 2),
                     "align_s": round(dt, 2),
+                    "pe_align_s": round(pe_dt, 2),
+                    "roofline": {
+                        "model_bytes_per_read": bytes_per_read,
+                        "hbm_gather_GBps": round(hbm_bytes_per_s / 1e9, 1),
+                        "hbm_peak_frac": round(
+                            hbm_bytes_per_s / HBM_PEAK_BYTES_PER_S, 4
+                        ),
+                        "row_gathers_per_s_M": round(rows_per_s / 1e6, 1),
+                        "bound": (
+                            "hbm-bandwidth"
+                            if hbm_bytes_per_s > 0.5 * HBM_PEAK_BYTES_PER_S
+                            else "gather-issue-rate"
+                        ),
+                    },
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -58,7 +58,7 @@ def _rc_reads(reads: jax.Array, lengths: jax.Array,
 
 
 def _strand_candidates(
-    didx_arrays, seq, dp: DerivedParams, H: int, cand_cap: int
+    didx_arrays, seq, dp: DerivedParams, H: int, cand_cap: int, owned=None
 ):
     """Candidate loci for one strand: (B, C) loci + validity, C <= cand_cap.
 
@@ -67,6 +67,11 @@ def _strand_candidates(
     mask) -> compact to the first cand_cap unique loci (invalid sentinels
     sort last, so slicing keeps all real candidates unless they exceed the
     cap, which raises the overflow flag -> rescue pass).
+
+    `owned` (traced int32 scalar, optional): alignments must START below
+    this local offset — the genome-range chunk ownership rule (loci in the
+    overlap tail belong to the next chunk; cf. uhamming's static sweep
+    partitioning, /root/reference/uhamming/uhamming.cpp:222-238).
     """
     key_hi, key_lo, lut, pos_rows, lut_bases, max_steps = didx_arrays
     S = len(dp.offsets)
@@ -113,6 +118,8 @@ def _strand_candidates(
     offs = jnp.asarray(dp.offsets, dtype=jnp.int32)
     diag = pos - offs[None, :, None]
     valid = in_range & (~has_n[..., None]) & (diag >= 0)
+    if owned is not None:
+        valid = valid & (diag < owned)
 
     B = seq.shape[0]
     flat = jnp.where(valid, diag, _I32_MAX).reshape(B, S * H)
@@ -137,6 +144,107 @@ def _strand_candidates(
     return srt, v, overflow_any
 
 
+def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
+               reads, lengths, owned, packed, *, ap: AlignParams,
+               dp: DerivedParams, H: int, cand_cap: int, strand: str,
+               uniform: bool, lut_bases: int, max_steps: int):
+    """The full per-index alignment dataflow as one traced function —
+    shared verbatim by the single-device engine (AlignEngine) and the
+    multi-chip sharded step (parallel/sharded.py), so their per-chunk
+    results are identical by construction."""
+    arrays = (key_hi, key_lo, lut, pos_rows, lut_bases, max_steps)
+    # per-read mismatch budget from ACTUAL read length — the
+    # reference computes MaxTotMM per read (Aligner.cpp:9084-9090)
+    if ap.max_subs_per100 == 0:
+        max_tot_mm = jnp.zeros_like(lengths)
+    else:
+        max_tot_mm = jnp.clip(
+            jnp.floor(
+                lengths * (ap.max_subs_per100 / 100.0) + 0.5
+            ).astype(jnp.int32),
+            1,
+            63,
+        )
+    strands = []
+    if strand in ("both", "sense"):
+        strands.append((reads, False))
+    if strand in ("both", "antisense"):
+        strands.append((_rc_reads(reads, lengths, uniform), True))
+
+    loci_parts, valid_parts, mm_parts, ovf = [], [], [], None
+    for seq, is_rc in strands:
+        loci, vmask, o = _strand_candidates(arrays, seq, dp, H,
+                                            cand_cap, owned)
+        if packed is not None:
+            rcodes, rnlane = pack_reads(seq, lengths)
+            mm = hamming_extend_packed(
+                packed, entry_starts, loci, vmask, rcodes, rnlane,
+                lengths,
+            )
+        else:
+            mm = hamming_extend(
+                genome, entry_starts, loci, vmask, seq, lengths
+            )
+        loci_parts.append(loci)
+        valid_parts.append(vmask)
+        mm_parts.append(mm)
+        ovf = o if ovf is None else (ovf | o)
+
+    loci_all = jnp.concatenate(loci_parts, axis=1)
+    mm_all = jnp.concatenate(mm_parts, axis=1)
+    C1 = loci_parts[0].shape[1]
+
+    # ONE two-key sort by (mm*2 | rc, locus) yields everything the
+    # acceptance rule needs (fused replacement for the former
+    # best_hit_reduce + multi-hit sort pair — the reduce re-scanned
+    # the same matrix the sort orders anyway):
+    #   row 0      -> best mm / locus / strand
+    #   row 1      -> next-best mm; margin < MMDelta iff inst > 1
+    #                 OR true margin fails — exactly the reference
+    #                 LowMMCnt/NxtLowMMCnt rule (SfxArrayV2.h:70-77)
+    #   rows 0..K  -> multi-hit loci (AssignMultiMatches input,
+    #                 Aligner.cpp:5109)
+    # rc rides in the key's low bit (sense sorts first at equal mm,
+    # matching the reference's sense-then-antisense traversal).
+    K = max(1, ap.max_multi)
+    Ctot = mm_all.shape[1]
+    if strand == "both":
+        rc_col = (jnp.arange(Ctot, dtype=jnp.int32) >= C1).astype(
+            jnp.int32
+        )[None, :]
+    else:
+        rc_col = jnp.full((1, Ctot), int(strand == "antisense"),
+                          jnp.int32)
+    key = mm_all.astype(jnp.int32) * 2 + rc_col
+    s_key, s_loci = jax.lax.sort(
+        (key.T, loci_all.T), dimension=0, num_keys=2
+    )
+    best = s_key[0] >> 1
+    is_rc_hit = (s_key[0] & 1).astype(jnp.bool_)
+    locus = s_loci[0]
+    next_mm = s_key[1] >> 1
+    inst = jnp.sum(mm_all.astype(jnp.int32) == best[:, None],
+                   axis=1, dtype=jnp.int32)
+    any_hit = best <= max_tot_mm
+    unique = any_hit & (
+        (next_mm - best) >= jnp.int32(ap.min_edit_dist)
+    )
+    return {
+        "unique": unique,
+        "any_hit": any_hit,
+        "best_mm": jnp.minimum(best, MM_INVALID).astype(jnp.uint8),
+        "next_mm": jnp.minimum(next_mm, MM_INVALID).astype(jnp.uint8),
+        "inst": inst,
+        "locus": locus,
+        "is_rc": is_rc_hit,
+        "overflow": ovf,
+        "ml_loci": s_loci[:K].T,
+        "ml_mm": jnp.minimum(s_key[:K] >> 1, 255).astype(
+            jnp.uint8).T,
+        "ml_rc": (s_key[:K] & 1).astype(jnp.bool_).T,
+    }
+
+
 class AlignEngine:
     """Compiles and runs the batch alignment for one DeviceIndex."""
 
@@ -147,106 +255,43 @@ class AlignEngine:
 
     def _fn(self, dp: DerivedParams, H: int, strand: str, use_packed: bool,
             cand_cap: int, uniform: bool):
-        key = (dp, H, strand, use_packed, cand_cap, uniform)
+        has_owned = self.didx.owned is not None
+        pk0 = self.didx.packed if use_packed else None
+        key = (dp, H, strand, use_packed, cand_cap, uniform, has_owned,
+               pk0.length if pk0 is not None else 0,
+               pk0 is not None and pk0.has_n,
+               self.didx.lut_bases, self.didx.max_bsearch_steps)
         if key in self._jitted:
             return self._jitted[key]
         didx = self.didx
         lut_bases = didx.lut_bases
         max_steps = didx.max_bsearch_steps
-        packed = didx.packed if use_packed else None
+        # packed genome STATICS (length, has_n); its arrays are passed as
+        # args so one compiled fn serves every equal-shaped chunk
+        # (biokanga_tpu/index/chunked.py)
+        pk = didx.packed if use_packed else None
+        pk_len = pk.length if pk is not None else 0
+        pk_has_n = pk is not None and pk.has_n
         ap = self.params
 
         def run(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
-                reads, lengths):
-            arrays = (key_hi, key_lo, lut, pos_rows, lut_bases, max_steps)
-            # per-read mismatch budget from ACTUAL read length — the
-            # reference computes MaxTotMM per read (Aligner.cpp:9084-9090)
-            if ap.max_subs_per100 == 0:
-                max_tot_mm = jnp.zeros_like(lengths)
-            else:
-                max_tot_mm = jnp.clip(
-                    jnp.floor(
-                        lengths * (ap.max_subs_per100 / 100.0) + 0.5
-                    ).astype(jnp.int32),
-                    1,
-                    63,
-                )
-            strands = []
-            if strand in ("both", "sense"):
-                strands.append((reads, False))
-            if strand in ("both", "antisense"):
-                strands.append((_rc_reads(reads, lengths, uniform), True))
-
-            loci_parts, valid_parts, mm_parts, ovf = [], [], [], None
-            for seq, is_rc in strands:
-                loci, vmask, o = _strand_candidates(arrays, seq, dp, H, cand_cap)
-                if packed is not None:
-                    rcodes, rnlane = pack_reads(seq, lengths)
-                    mm = hamming_extend_packed(
-                        packed, entry_starts, loci, vmask, rcodes, rnlane,
-                        lengths,
-                    )
-                else:
-                    mm = hamming_extend(
-                        genome, entry_starts, loci, vmask, seq, lengths
-                    )
-                loci_parts.append(loci)
-                valid_parts.append(vmask)
-                mm_parts.append(mm)
-                ovf = o if ovf is None else (ovf | o)
-
-            loci_all = jnp.concatenate(loci_parts, axis=1)
-            mm_all = jnp.concatenate(mm_parts, axis=1)
-            C1 = loci_parts[0].shape[1]
-
-            # ONE two-key sort by (mm*2 | rc, locus) yields everything the
-            # acceptance rule needs (fused replacement for the former
-            # best_hit_reduce + multi-hit sort pair — the reduce re-scanned
-            # the same matrix the sort orders anyway):
-            #   row 0      -> best mm / locus / strand
-            #   row 1      -> next-best mm; margin < MMDelta iff inst > 1
-            #                 OR true margin fails — exactly the reference
-            #                 LowMMCnt/NxtLowMMCnt rule (SfxArrayV2.h:70-77)
-            #   rows 0..K  -> multi-hit loci (AssignMultiMatches input,
-            #                 Aligner.cpp:5109)
-            # rc rides in the key's low bit (sense sorts first at equal mm,
-            # matching the reference's sense-then-antisense traversal).
-            K = max(1, ap.max_multi)
-            Ctot = mm_all.shape[1]
-            if strand == "both":
-                rc_col = (jnp.arange(Ctot, dtype=jnp.int32) >= C1).astype(
-                    jnp.int32
-                )[None, :]
-            else:
-                rc_col = jnp.full((1, Ctot), int(strand == "antisense"),
-                                  jnp.int32)
-            key = mm_all.astype(jnp.int32) * 2 + rc_col
-            s_key, s_loci = jax.lax.sort(
-                (key.T, loci_all.T), dimension=0, num_keys=2
+                reads, lengths, *rest):
+            from ..ops.extend_packed import PackedGenome
+            owned = packed = None
+            rest = list(rest)
+            if has_owned:
+                owned = rest.pop(0)
+            if use_packed:
+                pk_rows = rest.pop(0)
+                pk_nrows = rest.pop(0) if pk_has_n else None
+                packed = PackedGenome(rows=pk_rows, n_rows=pk_nrows,
+                                      length=pk_len)
+            return align_core(
+                genome, entry_starts, pos_rows, key_hi, key_lo, lut,
+                reads, lengths, owned, packed,
+                ap=ap, dp=dp, H=H, cand_cap=cand_cap, strand=strand,
+                uniform=uniform, lut_bases=lut_bases, max_steps=max_steps,
             )
-            best = s_key[0] >> 1
-            is_rc_hit = (s_key[0] & 1).astype(jnp.bool_)
-            locus = s_loci[0]
-            next_mm = s_key[1] >> 1
-            inst = jnp.sum(mm_all.astype(jnp.int32) == best[:, None],
-                           axis=1, dtype=jnp.int32)
-            any_hit = best <= max_tot_mm
-            unique = any_hit & (
-                (next_mm - best) >= jnp.int32(ap.min_edit_dist)
-            )
-            return {
-                "unique": unique,
-                "any_hit": any_hit,
-                "best_mm": jnp.minimum(best, MM_INVALID).astype(jnp.uint8),
-                "inst": inst,
-                "locus": locus,
-                "is_rc": is_rc_hit,
-                "overflow": ovf,
-                "ml_loci": s_loci[:K].T,
-                "ml_mm": jnp.minimum(s_key[:K] >> 1, 255).astype(
-                    jnp.uint8).T,
-                "ml_rc": (s_key[:K] & 1).astype(jnp.bool_).T,
-            }
 
         jitted = jax.jit(run)
         self._jitted[key] = jitted
@@ -265,10 +310,17 @@ class AlignEngine:
         fn = self._fn(dp, H, self.params.strand, use_packed, int(cand_cap),
                       uniform)
         d = self.didx
-        out = fn(
+        args = (
             d.genome, d.entry_starts, d.pos_rows, d.key_hi, d.key_lo, d.lut,
             jnp.asarray(reads), jnp.asarray(lengths),
         )
+        if d.owned is not None:
+            args = args + (d.owned,)
+        if use_packed:
+            args = args + (d.packed.rows,)
+            if d.packed.has_n:
+                args = args + (d.packed.n_rows,)
+        out = fn(*args)
         return out, dp
 
     def align_batch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
@@ -325,8 +377,8 @@ class AlignEngine:
                 l[:k_n] = lengths[sub_rows]
                 sub_r, sub_l = pad_rows(r, l)
                 sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=cap)
-                for k in ("unique", "any_hit", "best_mm", "inst", "locus",
-                          "is_rc", "ml_loci", "ml_mm", "ml_rc"):
+                for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
+                          "locus", "is_rc", "ml_loci", "ml_mm", "ml_rc"):
                     res[k][sub_rows] = sub[k][:k_n]
         return res
 

@@ -51,6 +51,14 @@ def cmd_index(argv: list[str]) -> int:
     p.add_argument("-s", "--synthetic-mbp", type=int, default=100,
                    help="mode 2: synthetic genome size in Mbp")
     p.add_argument("--lut-bases", type=int, default=12)
+    p.add_argument("--chunks", type=int, default=0,
+                   help="force this many genome-range chunks (multi-chip "
+                        "'sp' degree); 0 = auto (chunked only past 2^31 "
+                        "bases — the reference's 5-byte-element capacity, "
+                        "Docs/biokanga.index.txt:27-32)")
+    p.add_argument("--chunk-overlap", type=int, default=2048,
+                   help="chunk slice overlap in bases; must cover the "
+                        "longest alignment window (PE: >= pairmaxlen)")
     p.add_argument("-q", "--sumrslts", default=None,
                    help="log experiment/params/results to this SQLite DB")
     p.add_argument("-F", "--log", default=None)
@@ -96,7 +104,30 @@ def cmd_index(argv: list[str]) -> int:
     else:
         if not args.infasta:
             p.error("-i/--infasta required unless -m2")
-        idx = build_index_from_fasta(args.infasta, lut_bases=args.lut_bases)
+        from .seq.fasta import read_seqs
+
+        seqs = []
+        for path in args.infasta:
+            seqs.extend((r.name, r.codes) for r in read_seqs(path))
+        total = sum(len(s) for _, s in seqs)
+        if args.chunks > 0 or total >= 2**31:
+            from .index.chunked import build_chunked_index, save_chunked_index
+
+            nchunks = args.chunks or -(-total // ((1 << 31) - 2**20))
+            ci = build_chunked_index(
+                seqs, num_chunks=nchunks, overlap=args.chunk_overlap,
+                lut_bases=args.lut_bases,
+            )
+            log.info(
+                "chunk-indexed %d entries, %d bp total across %d chunks "
+                "in %.1fs", len(ci.entry_names), ci.total_len,
+                ci.num_chunks, sw.mark("build"),
+            )
+            save_chunked_index(ci, args.out)
+            log.info("chunked index written to %s (%.1fs)", args.out,
+                     sw.elapsed())
+            return 0
+        idx = build_index(seqs, lut_bases=args.lut_bases)
     log.info(
         "indexed %d entries, %d bp total in %.1fs",
         idx.num_entries, idx.total_len, sw.mark("build"),
@@ -232,6 +263,95 @@ def cmd_align(argv: list[str]) -> int:
                     n_total += len(blk.names)
                     n_unique += int(res["unique"].sum())
         log.info("bisulfite-aligned %d reads: %d unique (%.2f%%) in %.1fs",
+                 n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
+                 sw.elapsed())
+        return 0
+
+    from .index.chunked import is_chunked_index
+
+    if is_chunked_index(args.sfx):
+        # genome-range chunked index (>2^31-base genomes): sequential
+        # chunk sweeps with exact merge (parallel/chunked.py)
+        from .align.pe import PEParams
+        from .index.chunked import load_chunked_index
+        from .parallel.chunked import ChunkedAligner, ChunkedPEAligner
+
+        ci = load_chunked_index(args.sfx)
+        log.info("chunked index loaded: %d bp, %d entries, %d chunks "
+                 "(%.1fs)", ci.total_len, len(ci.entry_names),
+                 ci.num_chunks, sw.mark("load"))
+        params = AlignParams(
+            max_subs_per100=args.substitutions,
+            min_edit_dist=args.editdelta, max_multi=args.maxmulti,
+            mode=Sensitivity(args.mode), strand=args.strand,
+            batch_size=args.batch_size,
+        )
+        ca = ChunkedAligner(ci, params)
+        n_total = n_unique = 0
+        if args.pair:
+            pea = ChunkedPEAligner(ca, PEParams(
+                pair_min_len=args.pairminlen,
+                pair_max_len=args.pairmaxlen,
+                pair_same_strand=args.pairstrand,
+            ))
+            from .align.sam import write_pe_sam
+
+            n_pairs = n_proper = 0
+            with open(args.out, "w") as out:
+                first = True
+                for p1, p2 in zip(args.inreads, args.pair):
+                    for blk1, blk2 in zip(
+                        _input_blocks(p1), _input_blocks(p2)
+                    ):
+                        r1, l1 = pad_rows(blk1.codes, blk1.lengths)
+                        r2, l2 = pad_rows(blk2.codes, blk2.lengths)
+                        res = pea.align_pairs(r1, l1, r2, l2)
+                        nb = len(blk1.names)
+                        sub = lambda d: {
+                            k: (v[:nb] if hasattr(v, "__len__") else v)
+                            for k, v in d.items()
+                        }
+                        res_v = {
+                            "res1": sub(res["res1"]),
+                            "res2": sub(res["res2"]),
+                            "proper": res["proper"][:nb],
+                            "insert": res["insert"][:nb],
+                        }
+                        write_pe_sam(
+                            out, ci.entry_names, ci.entry_starts,
+                            blk1.names, blk1.codes, blk1.lengths,
+                            blk2.names, blk2.codes, blk2.lengths,
+                            res_v,
+                            write_header=first,
+                        )
+                        first = False
+                        n_pairs += nb
+                        n_proper += int(res["proper"][:nb].sum())
+            log.info("chunk-aligned %d pairs: %d proper (%.2f%%) in %.1fs",
+                     n_pairs, n_proper,
+                     100.0 * n_proper / max(n_pairs, 1), sw.elapsed())
+            return 0
+        # SE: chunk-major streaming over all blocks
+        blocks, names_list = [], []
+        for path in args.inreads:
+            for blk in _input_blocks(path):
+                codes, lens = pad_rows(blk.codes, blk.lengths)
+                blocks.append((codes, lens))
+                names_list.append((blk.names, blk.codes, blk.lengths))
+        results = ca.align_blocks(blocks)
+        from .align.sam import write_alignments_sam
+
+        with open(args.out, "w") as out:
+            first = True
+            for (names, codes0, lens0), res in zip(names_list, results):
+                write_alignments_sam(
+                    out, ci.entry_names, ci.entry_starts,
+                    names, codes0, lens0, res, write_header=first,
+                )
+                first = False
+                n_total += len(names)
+                n_unique += int(res["unique"][: len(names)].sum())
+        log.info("chunk-aligned %d reads: %d unique (%.2f%%) in %.1fs",
                  n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
                  sw.elapsed())
         return 0

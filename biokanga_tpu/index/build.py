@@ -90,7 +90,13 @@ def build_index(
     for i, (_, s) in enumerate(seqs):
         starts[i + 1] = starts[i] + len(s)
     total = int(starts[-1])
-    assert total < 2**31, "single-shard index limited to 2^31 bases; shard it"
+    if total >= 2**31:
+        raise ValueError(
+            "single-chunk index holds < 2^31 bases; use "
+            "index.chunked.build_chunked_index (genome-range chunking is "
+            "the TPU-native equivalent of the reference's 5-byte suffix "
+            "elements, libbiokanga/SfxArrayV2.h:101-102)"
+        )
     codes = np.empty(total, dtype=np.int8)
     for i, (_, s) in enumerate(seqs):
         codes[starts[i] : starts[i + 1]] = s

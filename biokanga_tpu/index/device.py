@@ -24,8 +24,8 @@ class DeviceIndex:
 
     genome: jax.Array        # (n,) int8
     entry_starts: jax.Array  # (E+1,) int32 (single shard < 2^31 bases)
-    pos_sorted: jax.Array    # (n + MAX_CAND_PER_CORE,) int32 (tail-padded)
-    pos_rows: jax.Array      # (ceil/64, 64) row view — fast aligned gathers
+    pos_rows: jax.Array      # (ceil(n+pad)/64, 64) int32 tail-padded sorted
+    #                          positions in 64-int rows — fast aligned gathers
     key_hi: jax.Array        # (n,) uint32
     key_lo: jax.Array        # (n,) uint32
     lut: jax.Array           # (4^P+1,) int32
@@ -34,10 +34,20 @@ class DeviceIndex:
     packed: PackedGenome | None = None  # 2-bit row-packed genome (fast path)
     # ceil(log2(max LUT bucket + 1)) + 1 — static binary-search trip bound
     max_bsearch_steps: int = 31
+    # genome-range chunk ownership limit (traced int32 scalar): alignments
+    # must START at a local offset < owned; None = whole index owned
+    # (biokanga_tpu/index/chunked.py sets this for multi-chunk genomes)
+    owned: jax.Array | None = None
 
     @property
     def total_len(self) -> int:
         return int(self.genome.shape[0])
+
+    @property
+    def pos_sorted(self) -> jax.Array:
+        """Flat view of the tail-padded sorted positions (first total_len
+        entries are the real suffix order)."""
+        return self.pos_rows.reshape(-1)
 
 
 def to_device(idx: GenomeIndex, device=None, pack: bool = True) -> DeviceIndex:
@@ -61,7 +71,6 @@ def to_device(idx: GenomeIndex, device=None, pack: bool = True) -> DeviceIndex:
     return DeviceIndex(
         genome=put(idx.codes),
         entry_starts=put(idx.entry_starts.astype(np.int32)),
-        pos_sorted=put(pos_padded),
         pos_rows=put(pos_rows),
         key_hi=put(idx.key_hi),
         key_lo=put(idx.key_lo),

@@ -1,0 +1,254 @@
+"""Sequential-chunk alignment driver: one chip, genomes past 2^31 bases.
+
+The single-device realisation of the genome-range chunk design
+(biokanga_tpu/index/chunked.py): chunks are iterated OUTER (one device
+upload per chunk), read batches INNER, and per-read summaries merge
+exactly on host — the TPU equivalent of the reference's uhamming
+multi-node static sweep partitioning + file merge
+(/root/reference/uhamming/uhamming.cpp:222-238), and the capacity match
+for CSfxArrayV3's 5-byte suffix elements / <1000 Gbp envelope
+(/root/reference/Docs/biokanga.index.txt:27-32).
+
+Merging is EXACT (not approximate) because chunk ownership makes the
+per-chunk candidate sets disjoint:
+  best*  = lexicographic min over chunks of (mm, strand, global locus)
+  inst*  = sum of per-chunk best-instance counts where chunk best == best*
+  next*  = min over chunks of (chunk next-best if chunk best == best*
+           else chunk best)
+  ml*    = K-smallest of the union of per-chunk top-K lists
+which reproduces the reference's LowMMCnt/NxtLowMMCnt acceptance rule
+(libbiokanga/SfxArrayV2.h:70-77) over the whole genome.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..align.params import AlignParams
+from ..align.pipeline import AlignEngine
+from ..index.chunked import ChunkedIndex, chunk_to_device
+from ..ops.extend import MM_INVALID
+
+
+def _max_tot_mm(lengths: np.ndarray, params: AlignParams) -> np.ndarray:
+    if params.max_subs_per100 == 0:
+        return np.zeros(len(lengths), np.int32)
+    return np.clip(
+        np.floor(lengths * (params.max_subs_per100 / 100.0) + 0.5), 1, 63
+    ).astype(np.int32)
+
+
+def merge_chunk_results(
+    partials: list[dict],
+    bases: np.ndarray,
+    lengths: np.ndarray,
+    params: AlignParams,
+) -> dict:
+    """Exact host-side merge of per-chunk result dicts (see module doc).
+
+    Returns the single-index result schema with int64 global loci.
+    """
+    K = len(partials)
+    if K == 1:
+        p = dict(partials[0])
+        p["locus"] = p["locus"].astype(np.int64) + int(bases[0])
+        p["ml_loci"] = p["ml_loci"].astype(np.int64) + int(bases[0])
+        return p
+    best = np.stack([p["best_mm"].astype(np.int32) for p in partials])
+    nxt = np.stack([p["next_mm"].astype(np.int32) for p in partials])
+    inst = np.stack([p["inst"].astype(np.int64) for p in partials])
+    rc = np.stack([p["is_rc"] for p in partials])
+    loc_g = np.stack(
+        [p["locus"].astype(np.int64) + int(bases[k])
+         for k, p in enumerate(partials)]
+    )
+    ovf = np.any([p["overflow"] for p in partials], axis=0)
+
+    # winner chunk by lexicographic (mm, strand, global locus)
+    okey = best * 2 + rc.astype(np.int32)          # (K, B)
+    cur_key = okey[0].copy()
+    cur_loc = loc_g[0].copy()
+    kstar = np.zeros(best.shape[1], np.int64)
+    for k in range(1, K):
+        better = (okey[k] < cur_key) | (
+            (okey[k] == cur_key) & (loc_g[k] < cur_loc)
+        )
+        kstar = np.where(better, k, kstar)
+        cur_key = np.where(better, okey[k], cur_key)
+        cur_loc = np.where(better, loc_g[k], cur_loc)
+    take = lambda a: np.take_along_axis(a, kstar[None, :], axis=0)[0]
+    b_star = take(best)
+    is_best = best == b_star[None, :]
+    inst_star = np.sum(np.where(is_best, inst, 0), axis=0)
+    # rows with NO valid candidate anywhere (best == MM_INVALID): inst is
+    # the invalid-slot count, not a hit count — keep the winner's verbatim
+    # so the merged dict matches the single-index output bit-for-bit
+    inst_star = np.where(b_star >= MM_INVALID, take(inst), inst_star)
+    # union second-smallest: best* itself when the union holds >= 2 best
+    # instances (matches the single-index sorted-duplicates semantics)
+    next_star = np.min(np.where(is_best, nxt, best), axis=0)
+    next_star = np.where(inst_star >= 2, b_star, next_star)
+
+    mtm = _max_tot_mm(lengths, params)
+    any_hit = b_star <= mtm
+    unique = any_hit & ((next_star - b_star) >= params.min_edit_dist)
+
+    # top-K multi-hit merge: K-smallest of the union by (mm, rc, locus)
+    ml_mm = np.concatenate([p["ml_mm"] for p in partials], axis=1)
+    ml_rc = np.concatenate([p["ml_rc"] for p in partials], axis=1)
+    ml_loc = np.concatenate(
+        [p["ml_loci"].astype(np.int64) + int(bases[k])
+         for k, p in enumerate(partials)],
+        axis=1,
+    )
+    Kml = partials[0]["ml_mm"].shape[1]
+    comp = (
+        ((ml_mm.astype(np.int64) * 2 + ml_rc) << np.int64(44))
+        | np.clip(ml_loc, 0, (1 << 44) - 1)
+    )
+    order = np.argsort(comp, axis=1, kind="stable")[:, :Kml]
+    tk = lambda a: np.take_along_axis(a, order, axis=1)
+
+    return {
+        "unique": unique,
+        "any_hit": any_hit,
+        "best_mm": np.minimum(b_star, MM_INVALID).astype(np.uint8),
+        "next_mm": np.minimum(next_star, MM_INVALID).astype(np.uint8),
+        "inst": inst_star.astype(partials[0]["inst"].dtype),
+        "locus": cur_loc,
+        "is_rc": (cur_key & 1).astype(bool),
+        "overflow": ovf,
+        "ml_loci": tk(ml_loc),
+        "ml_mm": tk(ml_mm),
+        "ml_rc": tk(ml_rc),
+    }
+
+
+class ChunkedPEAligner:
+    """Paired-end alignment against a ChunkedIndex: both mates through the
+    chunk-merged SE path, global classification, then orphan rescue
+    grouped by the anchor's chunk (one chunk upload per chunk holding
+    orphans) — the chunked realisation of CAligner::ProcessPairedEnds +
+    AlignPairedRead (biokanga/Aligner.cpp:2876; SfxArrayV2.cpp:8247).
+
+    Exactness caveat: an orphan whose rescue window crosses a chunk cut
+    needs ci.overlap >= pair_max_len; build the index accordingly.
+    """
+
+    def __init__(self, ca: "ChunkedAligner", pe=None):
+        from ..align.pe import PEParams
+
+        self.ca = ca
+        self.pe = pe or PEParams()
+        if ca.ci.overlap < self.pe.pair_max_len:
+            import warnings
+
+            warnings.warn(
+                f"chunk overlap {ca.ci.overlap} < pair_max_len "
+                f"{self.pe.pair_max_len}: PE rescue windows crossing chunk "
+                "cuts will be clipped"
+            )
+
+    def align_pairs(self, reads1, len1, reads2, len2):
+        from ..align.pe import PEAligner, classify_pairs
+        from ..seq.encode import revcomp
+
+        ca = self.ca
+        ci = ca.ci
+        res1 = ca.align(reads1, len1)
+        res2 = ca.align(reads2, len2)
+        starts = ci.entry_starts
+        cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
+
+        if self.pe.rescue:
+            # group orphans by anchor chunk; rescue against that chunk
+            chunk_of = lambda g: np.clip(
+                np.searchsorted(ci.bases, g, side="right") - 1, 0,
+                ci.num_chunks - 1,
+            )
+            for which, (anch, mate_reads, mate_len, mres) in {
+                1: (res1, reads2, len2, res2),
+                2: (res2, reads1, len1, res1),
+            }.items():
+                orph = cls[f"orphan{which}"]
+                rows_all = np.nonzero(orph)[0]
+                if len(rows_all) == 0:
+                    continue
+                a_chunk = chunk_of(anch["locus"][rows_all])
+                for k in np.unique(a_chunk):
+                    rows = rows_all[a_chunk == k]
+                    eng = ca.engine_for(int(k))
+                    pea = PEAligner(eng, self.pe)
+                    a_loc = (anch["locus"][rows]
+                             - int(ci.bases[k])).astype(np.int32)
+                    a_rc = anch["is_rc"][rows]
+                    a_len = (len1 if which == 1 else len2)[rows]
+                    m = mate_reads[rows].copy()
+                    ml = mate_len[rows]
+                    for i, r in enumerate(rows):
+                        if not a_rc[i]:
+                            m[i, : ml[i]] = revcomp(mate_reads[r, : ml[i]])
+                    out = pea.rescue(a_loc, a_rc, a_len, m, ml, False)
+                    ok = out["ok"]
+                    mres["unique"][rows[ok]] = True
+                    mres["locus"][rows[ok]] = (
+                        out["locus"][ok].astype(np.int64) + int(ci.bases[k])
+                    )
+                    mres["is_rc"][rows[ok]] = ~a_rc[ok]
+                    mres["best_mm"][rows[ok]] = out["mm"][ok]
+            cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
+
+        return {"res1": res1, "res2": res2, **cls}
+
+
+class ChunkedAligner:
+    """Align read sets against a ChunkedIndex on one device.
+
+    One AlignEngine instance is reused across chunks: every chunk is
+    padded to identical device shapes (ChunkedIndex.pad_shapes), and the
+    engine passes all index arrays as jit ARGUMENTS, so the compiled
+    graphs are shared — chunk swaps cost one host->HBM transfer, no
+    recompile.
+    """
+
+    def __init__(self, ci: ChunkedIndex, params: AlignParams | None = None,
+                 device=None):
+        self.ci = ci
+        self.params = params or AlignParams()
+        self.device = device
+        self.pad_shapes = ci.pad_shapes()
+        self.engine: AlignEngine | None = None
+
+    def engine_for(self, k: int) -> AlignEngine:
+        didx = chunk_to_device(self.ci, k, self.pad_shapes, self.device)
+        if self.engine is None:
+            self.engine = AlignEngine(didx, self.params)
+        else:
+            self.engine.didx = didx
+        return self.engine
+
+    def align(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
+        """One padded read block vs every chunk; exact merged result."""
+        partials = []
+        for k in range(self.ci.num_chunks):
+            eng = self.engine_for(k)
+            partials.append(eng.align_with_rescue(reads, lengths))
+        res = merge_chunk_results(partials, self.ci.bases, lengths,
+                                  self.params)
+        res["derived"] = partials[0].get("derived")
+        return res
+
+    def align_blocks(self, blocks: list[tuple[np.ndarray, np.ndarray]]):
+        """Chunk-major streaming over many read blocks (one device upload
+        per chunk for the WHOLE read set).  Returns merged dicts per block."""
+        per_block: list[list[dict]] = [[] for _ in blocks]
+        for k in range(self.ci.num_chunks):
+            eng = self.engine_for(k)
+            for b, (reads, lengths) in enumerate(blocks):
+                per_block[b].append(eng.align_with_rescue(reads, lengths))
+        out = []
+        for b, (reads, lengths) in enumerate(blocks):
+            res = merge_chunk_results(per_block[b], self.ci.bases, lengths,
+                                      self.params)
+            res["derived"] = per_block[b][0].get("derived")
+            out.append(res)
+        return out

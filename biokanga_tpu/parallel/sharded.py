@@ -7,32 +7,37 @@ biokanga/Aligner.cpp:9636) and the BKS TCP work-server RPC
 
   mesh axes: ('dp', 'sp')
     dp — read batches data-parallel (the 128-thread pool analogue)
-    sp — the suffix-array/genome SHARDED by sorted-key range; each sp
-         shard searches its local key range for every read core and the
-         per-candidate mismatch results merge with a min-reduction
-         (the allgather/psum analogue of BKS job-response merging)
+    sp — the GENOME sharded by RANGE: each sp shard holds one genome-range
+         chunk (biokanga_tpu/index/chunked.py) — its slice's codes, packed
+         rows, bounded-key SA and LUT — and runs the IDENTICAL single-chip
+         align dataflow (align/pipeline.align_core) against its chunk.
 
-Because the SA is sorted by key, sharding it into contiguous runs means
-each shard holds a disjoint key interval: a seed's candidate set is the
-union of per-shard range lookups, and best/next-best Hamming reduction
-commutes across shards — so the merge is a couple of small collectives
-per batch, riding ICI.
+Chunk ownership (alignment start < owned) makes per-shard candidate sets
+disjoint, so the cross-shard merge is EXACT: all_gather the per-read
+summaries (best/next/inst/locus/strand + the top-K multi-hit list) over
+'sp' and reduce with the same lexicographic-min rules the host-side
+sequential-chunk merge uses (parallel/chunked.merge_chunk_results) — a
+few KB of ICI traffic per batch replacing the reference's 64 MB BKS TCP
+payloads.  Nothing is replicated: HBM per chip is one chunk + one dp read
+block, so capacity scales linearly with n_sp (the >2^31-base path).
+
+Global loci are (chunk, local int32) pairs on device; the host composes
+int64 global coordinates (ShardedAligner.align).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..align.params import AlignParams, DerivedParams
-from ..align.pipeline import _rc_reads
-from ..index.build import GenomeIndex
-from ..ops.extend import MM_INVALID, hamming_extend
-from ..ops.lookup import pack_read_kmers, seed_range_lookup
+from ..align.params import AlignParams
+from ..align.pipeline import align_core, pad_rows
+from ..index.chunked import ChunkedIndex, pad_chunk_arrays
+from ..ops.extend import MM_INVALID
+from ..ops.extend_packed import PackedGenome, pack_genome
 
 
 def make_mesh(n_dp: int, n_sp: int, devices=None) -> Mesh:
@@ -42,264 +47,260 @@ def make_mesh(n_dp: int, n_sp: int, devices=None) -> Mesh:
 
 
 @dataclass
-class ShardedIndex:
-    """Index sharded over the 'sp' mesh axis.
+class ChunkShardedIndex:
+    """One genome-range chunk resident per 'sp' shard (leading axis n_sp)."""
 
-    genome + entry_starts replicated (genome gathers are random-access),
-    SA arrays (pos_sorted / key_hi / key_lo / lut) sharded by contiguous
-    key range. Shards are padded to equal length with +inf keys.
-    """
-
-    genome: jax.Array        # replicated (n,)
-    entry_starts: jax.Array  # replicated (E+1,)
-    pos_sorted: jax.Array    # (n_sp, m) sharded over axis 0
-    key_hi: jax.Array        # (n_sp, m)
-    key_lo: jax.Array        # (n_sp, m)
-    lut: jax.Array           # (n_sp, 4^P+1) per-shard local bucket starts
-    lut_bases: int
+    genome: jax.Array        # (n_sp, pad_n) int8
+    entry_starts: jax.Array  # (n_sp, pad_E+1) int32
+    pos_rows: jax.Array      # (n_sp, R64, 64) int32
+    key_hi: jax.Array        # (n_sp, pad_n) uint32
+    key_lo: jax.Array        # (n_sp, pad_n) uint32
+    lut: jax.Array           # (n_sp, 4^P+1) int32
+    pk_rows: jax.Array       # (n_sp, R, 16) uint32 packed genome rows
+    pk_nrows: jax.Array      # (n_sp, R, 16) uint32 N-plane rows
+    owned: jax.Array         # (n_sp, 1) int32 ownership limits
+    bases: np.ndarray        # (n_sp,) int64 global chunk offsets (host)
+    slice_lens: np.ndarray   # (n_sp,) int64 real (unpadded) slice lengths
+    entry_starts_global: np.ndarray  # (E+1,) int64 (host)
     entry_names: list[str]
-    shard_len: int
+    lut_bases: int
+    max_bsearch_steps: int
+    pad_n: int
+    pk_len: int
+
+    @property
+    def n_sp(self) -> int:
+        return self.genome.shape[0]
 
     @property
     def total_len(self) -> int:
-        return int(self.genome.shape[0])
+        return int(self.entry_starts_global[-1])
 
 
-def shard_index(idx: GenomeIndex, mesh: Mesh) -> ShardedIndex:
+def shard_chunked_index(ci: ChunkedIndex, mesh: Mesh) -> ChunkShardedIndex:
+    """Stack per-chunk padded arrays along a leading axis sharded over 'sp'.
+
+    ci.num_chunks must equal mesh 'sp' size (build with num_chunks=n_sp)."""
+    from ..index.device import MAX_CAND_PER_CORE
+
     n_sp = mesh.shape["sp"]
-    n = idx.total_len
-    m = -(-n // n_sp)  # ceil
-    P_bases = idx.lut_bases
-
-    pos = np.full((n_sp, m), 0, dtype=np.int32)
-    khi = np.full((n_sp, m), 0xFFFFFFFF, dtype=np.uint32)
-    klo = np.full((n_sp, m), 0xFFFFFFFF, dtype=np.uint32)
-    lut = np.zeros((n_sp, 4**P_bases + 1), dtype=np.int32)
-    for s in range(n_sp):
-        a, b = s * m, min((s + 1) * m, n)
-        k = b - a
-        if k <= 0:
-            lut[s, :] = 0
-            continue
-        pos[s, :k] = idx.pos_sorted[a:b]
-        khi[s, :k] = idx.key_hi[a:b]
-        klo[s, :k] = idx.key_lo[a:b]
-        # local LUT: clamp global bucket starts into this shard's range.
-        lut[s] = np.clip(idx.lut.astype(np.int64) - a, 0, k).astype(np.int32)
-
-    def put(arr, spec):
-        return jax.device_put(arr, NamedSharding(mesh, spec))
-
-    return ShardedIndex(
-        genome=put(idx.codes, P()),
-        entry_starts=put(idx.entry_starts.astype(np.int32), P()),
-        pos_sorted=put(pos, P("sp", None)),
-        key_hi=put(khi, P("sp", None)),
-        key_lo=put(klo, P("sp", None)),
-        lut=put(lut, P("sp", None)),
-        lut_bases=P_bases,
-        entry_names=list(idx.entry_names),
-        shard_len=m,
+    assert ci.num_chunks == n_sp, (
+        f"chunk count {ci.num_chunks} != sp shards {n_sp}; build the index "
+        "with build_chunked_index(..., num_chunks=n_sp)"
     )
+    pad_n, pad_E, steps = ci.pad_shapes()
 
-
-def _shard_candidates(key_hi, key_lo, lut, lut_bases, pos_sorted, seq, dp, H):
-    """Per-shard candidate loci for one strand — local arrays inside
-    shard_map; padded keys (0xFFFFFFFF) sort above every real key, so
-    lookups never return padded slots for cores (cores pack N as 0)."""
-    n = pos_sorted.shape[0]
-    S = len(dp.offsets)
-    qlh, qll, qhh, qhl, has_n = pack_read_kmers(seq, dp.offsets, dp.core_len)
-    start, end = seed_range_lookup(key_hi, key_lo, lut, lut_bases, qlh, qll, qhh, qhl)
-    size = end - start
-    overflow = size > H
-    j = jnp.arange(H, dtype=jnp.int32)
-    idx = start[..., None] + j
-    in_range = j[None, None, :] < jnp.minimum(size, H)[..., None]
-    pos = pos_sorted[jnp.clip(idx, 0, n - 1)]
-    offs = jnp.asarray(dp.offsets, dtype=jnp.int32)
-    diag = pos - offs[None, :, None]
-    valid = in_range & (~has_n[..., None]) & (diag >= 0)
-    B = seq.shape[0]
-    I32_MAX = jnp.int32(2**31 - 1)
-    flat = jnp.where(valid, diag, I32_MAX).reshape(B, S * H)
-    srt = jax.lax.sort(flat, dimension=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=bool), srt[:, 1:] == srt[:, :-1]], axis=1
+    g_l, es_l, pr_l, kh_l, kl_l, lut_l, pkr_l, pkn_l, own_l = (
+        [], [], [], [], [], [], [], [], []
     )
-    v = (srt != I32_MAX) & (~dup)
-    return srt, v, jnp.any(overflow, axis=1)
+    pk_len = None
+    for k in range(n_sp):
+        codes, es, pos, khi, klo, lut = pad_chunk_arrays(
+            ci.chunks[k], pad_n, pad_E
+        )
+        pg = pack_genome(codes)
+        assert pg.n_rows is not None  # pad N guarantees the plane
+        pk_len = pg.length
+        pos_padded = np.concatenate(
+            [pos, np.zeros(MAX_CAND_PER_CORE, np.int32)]
+        )
+        n64 = len(pos_padded) // 64
+        g_l.append(codes)
+        es_l.append(es.astype(np.int32))
+        pr_l.append(pos_padded[: n64 * 64].reshape(n64, 64))
+        kh_l.append(khi)
+        kl_l.append(klo)
+        lut_l.append(lut)
+        pkr_l.append(np.asarray(pg.rows))
+        pkn_l.append(np.asarray(pg.n_rows))
+        own_l.append([np.int32(ci.owned[k])])
+
+    put = lambda a, spec: jax.device_put(
+        np.stack(a), NamedSharding(mesh, spec)
+    )
+    return ChunkShardedIndex(
+        genome=put(g_l, P("sp", None)),
+        entry_starts=put(es_l, P("sp", None)),
+        pos_rows=put(pr_l, P("sp", None, None)),
+        key_hi=put(kh_l, P("sp", None)),
+        key_lo=put(kl_l, P("sp", None)),
+        lut=put(lut_l, P("sp", None)),
+        pk_rows=put(pkr_l, P("sp", None, None)),
+        pk_nrows=put(pkn_l, P("sp", None, None)),
+        owned=put(own_l, P("sp", None)),
+        bases=ci.bases.copy(),
+        slice_lens=np.asarray([c.total_len for c in ci.chunks], np.int64),
+        entry_starts_global=ci.entry_starts.copy(),
+        entry_names=list(ci.entry_names),
+        lut_bases=ci.chunks[0].lut_bases,
+        max_bsearch_steps=steps,
+        pad_n=pad_n,
+        pk_len=pk_len,
+    )
 
 
 def build_sharded_align_fn(
     mesh: Mesh,
-    sidx: ShardedIndex,
+    sidx: ChunkShardedIndex,
     params: AlignParams,
-    dp_params: DerivedParams,
+    dp_params,
     H: int,
+    cand_cap: int | None = None,
+    uniform: bool = True,
 ):
-    """Returns a jitted SPMD align step:
-    (reads (B, L) sharded over dp, lengths (B,)) -> per-read result dict
-    (replicated over sp).
+    """Jitted SPMD align step: (reads (B, L) sharded over dp, lengths (B,))
+    -> merged per-read result dict (replicated over sp, sharded over dp)
+    with EXACT single-index semantics; loci come back as (chunk, local).
     """
-    lut_bases = sidx.lut_bases
+    from jax import shard_map
+
     ap = params
-    dpp = dp_params
+    n_sp = sidx.n_sp
+    lut_bases = sidx.lut_bases
+    max_steps = sidx.max_bsearch_steps
+    pk_len = sidx.pk_len
+    Kml = max(1, ap.max_multi)
 
-    from jax import shard_map  # jax >= 0.9
+    def local_step(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
+                   pk_rows, pk_nrows, owned, reads, lengths):
+        packed = PackedGenome(rows=pk_rows[0], n_rows=pk_nrows[0],
+                              length=pk_len)
+        res = align_core(
+            genome[0], entry_starts[0], pos_rows[0], key_hi[0], key_lo[0],
+            lut[0], reads, lengths, owned[0, 0], packed,
+            ap=ap, dp=dp_params, H=H,
+            cand_cap=cand_cap or ap.max_cand_per_strand,
+            strand=ap.strand, uniform=uniform,
+            lut_bases=lut_bases, max_steps=max_steps,
+        )
 
-    def local_step(genome, entry_starts, pos_sorted, key_hi, key_lo, lut,
-                   reads, lengths):
-        # inside shard_map: pos_sorted/key_*/lut have a leading shard axis
-        # of size 1 (local block of the 'sp'-sharded array)
-        pos_sorted = pos_sorted[0]
-        key_hi = key_hi[0]
-        key_lo = key_lo[0]
-        lut = lut[0]
+        # ---- exact merge over 'sp' (device twin of
+        # parallel/chunked.merge_chunk_results; see module docstring) ----
+        g = lambda a: jax.lax.all_gather(a, "sp")
+        best = g(res["best_mm"].astype(jnp.int32))       # (n_sp, B)
+        nxt = g(res["next_mm"].astype(jnp.int32))
+        inst = g(res["inst"])
+        rc = g(res["is_rc"].astype(jnp.int32))
+        loc = g(res["locus"])
+        ovf = jnp.any(g(res["overflow"]), axis=0)
+
+        okey = best * 2 + rc
+        cur_key = okey[0]
+        cur_loc = loc[0]
+        kstar = jnp.zeros_like(cur_key)
+        for k in range(1, n_sp):
+            # chunk order IS global-locus order at equal (mm, strand):
+            # strictly-less suffices (earlier chunk wins ties)
+            better = okey[k] < cur_key
+            kstar = jnp.where(better, k, kstar)
+            cur_key = jnp.where(better, okey[k], cur_key)
+            cur_loc = jnp.where(better, loc[k], cur_loc)
+        b_star = cur_key >> 1
+        is_best = best == b_star[None, :]
+        inst_star = jnp.sum(jnp.where(is_best, inst, 0), axis=0)
+        take = lambda a: jnp.take_along_axis(a, kstar[None, :], axis=0)[0]
+        inst_star = jnp.where(b_star >= MM_INVALID, take(inst), inst_star)
+        next_star = jnp.min(jnp.where(is_best, nxt, best), axis=0)
+        next_star = jnp.where(inst_star >= 2, b_star, next_star)
 
         if ap.max_subs_per100 == 0:
-            max_tot_mm = jnp.zeros_like(lengths)
+            mtm = jnp.zeros_like(lengths)
         else:
-            max_tot_mm = jnp.clip(
-                jnp.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5).astype(
-                    jnp.int32
-                ),
-                1,
-                63,
-            )
+            mtm = jnp.clip(
+                jnp.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5
+                          ).astype(jnp.int32), 1, 63)
+        any_hit = b_star <= mtm
+        unique = any_hit & ((next_star - b_star) >= jnp.int32(
+            ap.min_edit_dist))
 
-        strands = []
-        if ap.strand in ("both", "sense"):
-            strands.append((reads, False))
-        if ap.strand in ("both", "antisense"):
-            strands.append((_rc_reads(reads, lengths), True))
-
-        loci_parts, mm_parts = [], []
-        ovf = None
-        for seq, _is_rc in strands:
-            loci, vmask, o = _shard_candidates(
-                key_hi, key_lo, lut, lut_bases, pos_sorted, seq, dpp, H
-            )
-            mm = hamming_extend(genome, entry_starts, loci, vmask, seq, lengths)
-            loci_parts.append(loci)
-            mm_parts.append(mm)
-            ovf = o if ovf is None else (ovf | o)
-
-        loci_all = jnp.concatenate(loci_parts, axis=1)
-        mm_all = jnp.concatenate(mm_parts, axis=1).astype(jnp.int32)
-        C1 = loci_parts[0].shape[1]
+        # top-K multi-hit union: 3-key sort (mm*2+rc, chunk, local locus)
+        mlk = g(res["ml_mm"].astype(jnp.int32) * 2
+                + res["ml_rc"].astype(jnp.int32))        # (n_sp, B, Kml)
+        mll = g(res["ml_loci"])
         B = reads.shape[0]
-
-        # --- local reductions, then merge across 'sp' with tiny collectives
-        # encode (mm, locus) into one int64-free comparable pair: primary mm,
-        # secondary locus for a deterministic argmin across shards.
-        best_l = jnp.min(mm_all, axis=1)
-        bi_l = jnp.argmin(mm_all, axis=1).astype(jnp.int32)
-        locus_l = jnp.take_along_axis(loci_all, bi_l[:, None], axis=1)[:, 0]
-        is_rc_l = bi_l >= C1
-        is_best = mm_all == best_l[:, None]
-        inst_l = jnp.sum(is_best, axis=1, dtype=jnp.int32)
-        next_l = jnp.min(jnp.where(is_best, MM_INVALID, mm_all), axis=1)
-
-        # cross-shard merge. NOTE: a candidate found by two different shards
-        # cannot exist (shards hold disjoint SA ranges and dedup is by
-        # diagonal within shard) — except a locus seeded by different cores
-        # landing in different shards. Merge therefore min-combines mm and
-        # recomputes instances approximately; exact cross-shard dedup is the
-        # all_gather path below.
-        g_mm = jax.lax.all_gather(best_l, "sp")         # (n_sp, B)
-        g_inst = jax.lax.all_gather(inst_l, "sp")
-        g_next = jax.lax.all_gather(next_l, "sp")
-        g_locus = jax.lax.all_gather(locus_l, "sp")
-        g_rc = jax.lax.all_gather(is_rc_l, "sp")
-
-        best = jnp.min(g_mm, axis=0)
-        sh = jnp.argmin(g_mm, axis=0)
-        take = lambda a: jnp.take_along_axis(a, sh[None, :], axis=0)[0]
-        locus = take(g_locus)
-        is_rc = take(g_rc)
-        # instances of the global best across shards; duplicate loci across
-        # shards (same locus, same strand, equal mm) are collapsed.
-        same_best = g_mm == best[None, :]
-        same_locus = (g_locus == locus[None, :]) & (g_rc == is_rc[None, :])
-        inst = jnp.sum(
-            jnp.where(same_best, g_inst, 0), axis=0
-        ) - jnp.sum(same_best & same_locus, axis=0) + 1
-        # next-best across shards: min of (per-shard next) and (per-shard
-        # best where that shard's best > global best)
-        cand_next = jnp.where(same_best, g_next, g_mm)
-        next_mm = jnp.min(cand_next, axis=0)
-
-        unique = (
-            (best <= max_tot_mm) & (inst == 1) & ((next_mm - best) >= ap.min_edit_dist)
+        chunk_ids = jnp.broadcast_to(
+            jnp.arange(n_sp, dtype=jnp.int32)[:, None, None], mlk.shape
+        )
+        flat = lambda a: jnp.moveaxis(a, 1, 0).reshape(B, n_sp * Kml).T
+        s_key, s_chunk, s_loc = jax.lax.sort(
+            (flat(mlk), flat(chunk_ids), flat(mll)), dimension=0, num_keys=3
         )
         return {
             "unique": unique,
-            "any_hit": best <= max_tot_mm,
-            "best_mm": jnp.minimum(best, MM_INVALID).astype(jnp.uint8),
-            "inst": inst,
-            "locus": locus,
-            "is_rc": is_rc,
+            "any_hit": any_hit,
+            "best_mm": jnp.minimum(b_star, MM_INVALID).astype(jnp.uint8),
+            "next_mm": jnp.minimum(next_star, MM_INVALID).astype(jnp.uint8),
+            "inst": inst_star,
+            "locus": cur_loc,
+            "chunk": kstar,
+            "is_rc": (cur_key & 1).astype(jnp.bool_),
             "overflow": ovf,
+            "ml_loci": s_loc[:Kml].T,
+            "ml_chunk": s_chunk[:Kml].T,
+            "ml_mm": jnp.minimum(s_key[:Kml] >> 1, 255).astype(jnp.uint8).T,
+            "ml_rc": (s_key[:Kml] & 1).astype(jnp.bool_).T,
         }
 
+    vec = {"unique": P("dp"), "any_hit": P("dp"), "best_mm": P("dp"),
+           "next_mm": P("dp"), "inst": P("dp"), "locus": P("dp"),
+           "chunk": P("dp"), "is_rc": P("dp"), "overflow": P("dp"),
+           "ml_loci": P("dp", None), "ml_chunk": P("dp", None),
+           "ml_mm": P("dp", None), "ml_rc": P("dp", None)}
     mapped = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
-            P(),              # genome (replicated)
-            P(),              # entry_starts
-            P("sp", None),    # pos_sorted
-            P("sp", None),    # key_hi
-            P("sp", None),    # key_lo
-            P("sp", None),    # lut
-            P("dp", None),    # reads
-            P("dp"),          # lengths
+            P("sp", None),          # genome
+            P("sp", None),          # entry_starts
+            P("sp", None, None),    # pos_rows
+            P("sp", None),          # key_hi
+            P("sp", None),          # key_lo
+            P("sp", None),          # lut
+            P("sp", None, None),    # pk_rows
+            P("sp", None, None),    # pk_nrows
+            P("sp", None),          # owned
+            P("dp", None),          # reads
+            P("dp"),                # lengths
         ),
-        out_specs={
-            "unique": P("dp"),
-            "any_hit": P("dp"),
-            "best_mm": P("dp"),
-            "inst": P("dp"),
-            "locus": P("dp"),
-            "is_rc": P("dp"),
-            "overflow": P("dp"),
-        },
+        out_specs=vec,
         check_vma=False,
     )
 
     @jax.jit
     def step(reads, lengths):
         return mapped(
-            sidx.genome, sidx.entry_starts, sidx.pos_sorted, sidx.key_hi,
-            sidx.key_lo, sidx.lut, reads, lengths,
+            sidx.genome, sidx.entry_starts, sidx.pos_rows, sidx.key_hi,
+            sidx.key_lo, sidx.lut, sidx.pk_rows, sidx.pk_nrows, sidx.owned,
+            reads, lengths,
         )
 
     return step
 
 
-def build_sharded_pileup_fn(mesh: Mesh, sidx: ShardedIndex):
-    """SPMD SNP pileup: each 'dp' shard scatter-adds its local accepted
-    alignments into per-locus count planes, then the planes merge with a
-    psum over 'dp' — the collective replacement for the reference's
-    per-thread pileup accumulation + serialised merge (ProcessSNPs,
-    Aligner.cpp:7609; this is BASELINE config 3's "SNP calling with psum
-    pileup merge").
+def build_sharded_pileup_fn(mesh: Mesh, sidx: ChunkShardedIndex):
+    """SPMD SNP pileup, chunk-sharded: each (dp, sp) device scatter-adds
+    its dp block's accepted alignments THAT LIVE IN ITS CHUNK into local
+    per-locus planes, then planes merge with a psum over 'dp' — the
+    collective replacement for the reference's per-thread pileup merge
+    (ProcessSNPs, Aligner.cpp:7609), with memory sharded over 'sp' (the
+    tiled-pileup answer to full-genome (n,4) planes).
 
-    Takes (loci (B,), aligned seqs (B, L), lengths (B,), accept (B,))
-    sharded over 'dp'; returns replicated (n, 4) counts + match/mismatch
-    planes.
+    Inputs (sharded over dp): chunk (B,), local loci (B,), aligned seqs
+    (B, L), lengths (B,), accept (B,).  Output (sharded over sp):
+    (n_sp, pad_n, 4) counts + (n_sp, pad_n) match/mismatch planes in LOCAL
+    chunk coordinates; combine_pileup_planes folds them to global.
     """
     from jax import shard_map
 
-    genome = sidx.genome
-    n = sidx.total_len
+    n = sidx.pad_n
 
-    def local(genome, loci, seqs, lengths, accept):
+    def local(genome, chunk, loci, seqs, lengths, accept):
+        genome = genome[0]
         B, L = seqs.shape
+        my = jax.lax.axis_index("sp").astype(jnp.int32)
         pos = loci[:, None] + jnp.arange(L, dtype=jnp.int32)
         live = (
-            accept[:, None]
+            (accept & (chunk == my))[:, None]
             & (jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None])
             & (seqs < 4) & (pos >= 0) & (pos < n)
         )
@@ -319,18 +320,100 @@ def build_sharded_pileup_fn(mesh: Mesh, sidx: ShardedIndex):
         counts = jax.lax.psum(counts, "dp")
         match = jax.lax.psum(match, "dp")
         mismatch = jax.lax.psum(mismatch, "dp")
-        return counts, match, mismatch
+        return counts[None], match[None], mismatch[None]
 
     mapped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp", None), P("dp"), P("dp")),
-        out_specs=(P(), P(), P()),
+        in_specs=(P("sp", None), P("dp"), P("dp"), P("dp", None), P("dp"),
+                  P("dp")),
+        out_specs=(P("sp", None, None), P("sp", None), P("sp", None)),
         check_vma=False,
     )
 
     @jax.jit
-    def step(loci, seqs, lengths, accept):
-        return mapped(genome, loci, seqs, lengths, accept)
+    def step(chunk, loci, seqs, lengths, accept):
+        return mapped(sidx.genome, chunk, loci, seqs, lengths, accept)
 
     return step
+
+
+def combine_pileup_planes(planes: np.ndarray, sidx: ChunkShardedIndex):
+    """Fold per-chunk local pileup planes ((n_sp, pad_n, ...) host array)
+    into one global array ((total, ...)).  Overlap-tail contributions (an
+    accepted alignment's window extending past its chunk's owned range)
+    land at the same global coordinates as the next chunk's head — plain
+    addition is exact because every aligned base is recorded exactly once,
+    in the chunk that accepted its alignment."""
+    total = sidx.total_len
+    out = np.zeros((total,) + planes.shape[2:], planes.dtype)
+    for k in range(planes.shape[0]):
+        b = int(sidx.bases[k])
+        sl = int(min(sidx.slice_lens[k], total - b))
+        out[b : b + sl] += planes[k, :sl]
+    return out
+
+
+class ShardedAligner:
+    """Host driver for the SPMD step: batches, the overflow rescue pass,
+    and int64 global-locus composition — mirrors AlignEngine.align_with_rescue
+    so multi-chip results equal the single-chip engine's exactly."""
+
+    def __init__(self, mesh: Mesh, ci: ChunkedIndex,
+                 params: AlignParams | None = None):
+        self.mesh = mesh
+        self.params = params or AlignParams()
+        self.sidx = shard_chunked_index(ci, mesh)
+        self._fns = {}
+
+    def _fn(self, L: int, H: int, cand_cap: int, uniform: bool):
+        key = (L, H, cand_cap, uniform)
+        if key not in self._fns:
+            dp = self.params.derive(L, self.sidx.total_len)
+            self._fns[key] = (
+                build_sharded_align_fn(
+                    self.mesh, self.sidx, self.params, dp, H,
+                    cand_cap=cand_cap, uniform=uniform,
+                ),
+                dp,
+            )
+        return self._fns[key]
+
+    def _run(self, reads, lengths, H, cand_cap):
+        B, L = reads.shape
+        uniform = bool(np.all(lengths == L))
+        fn, dp = self._fn(int(L), int(H), int(cand_cap), uniform)
+        out = fn(jnp.asarray(reads), jnp.asarray(lengths))
+        res = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        res["derived"] = dp
+        return res
+
+    def align(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
+        ap = self.params
+        res = self._run(reads, lengths, ap.cand_per_core,
+                        ap.max_cand_per_strand)
+        need = (~res["unique"]) & res["overflow"]
+        if need.any():
+            n_dp = self.mesh.shape["dp"]
+            rows = np.nonzero(need)[0]
+            CH = max(512, n_dp * 64)
+            cap = 8 * ap.max_cand_per_strand
+            for s in range(0, len(rows), CH):
+                sub_rows = rows[s : s + CH]
+                k_n = len(sub_rows)
+                r = np.full((CH, reads.shape[1]), 4, reads.dtype)
+                l = np.zeros(CH, lengths.dtype)
+                r[:k_n] = reads[sub_rows]
+                l[:k_n] = lengths[sub_rows]
+                sub = self._run(r, l, ap.rescue_cand_per_core, cap)
+                for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
+                          "locus", "chunk", "is_rc", "ml_loci", "ml_chunk",
+                          "ml_mm", "ml_rc"):
+                    res[k][sub_rows] = sub[k][:k_n]
+        # compose int64 global loci from (chunk, local)
+        bases = self.sidx.bases
+        res["locus"] = bases[res["chunk"]] + res["locus"].astype(np.int64)
+        res["ml_loci"] = (
+            bases[res["ml_chunk"]] + res["ml_loci"].astype(np.int64)
+        )
+        return res

@@ -1,0 +1,139 @@
+"""Exact-equality test: chunked genome-range alignment == single index.
+
+The VERDICT round-1 requirement: full result-dict equality on >= 10k
+reads including multi-hit, overflow, and N-containing cases, with chunk
+cuts falling mid-entry so cross-cut ownership is exercised."""
+import numpy as np
+
+from biokanga_tpu.align.params import AlignParams
+from biokanga_tpu.align.pipeline import AlignEngine, pad_rows
+from biokanga_tpu.index.build import build_index
+from biokanga_tpu.index.chunked import build_chunked_index
+from biokanga_tpu.index.device import to_device
+from biokanga_tpu.parallel.chunked import ChunkedAligner
+from biokanga_tpu.sim.simreads import random_genome, simulate_reads
+
+
+def _genome_with_repeats(seed=11):
+    seqs = random_genome(
+        [("chr1", 70000), ("chr2", 70000), ("chr3", 60000)], seed=seed
+    )
+    # repeated segment -> multi-hit + overflow cases
+    seg = seqs[0][1][1000:1600].copy()
+    seqs[1][1][5000:5600] = seg
+    seqs[2][1][30000:30600] = seg
+    rng = np.random.default_rng(3)
+    for _, s in seqs:
+        s[rng.choice(len(s), size=50, replace=False)] = 4
+    return seqs
+
+
+def test_chunked_equals_single():
+    seqs = _genome_with_repeats()
+    _, reads, _ = simulate_reads(seqs, 10000, read_len=100, sub_rate=0.02,
+                                 seed=5)
+    seg = np.ascontiguousarray(seqs[0][1][1100:1200])
+    reads[:32] = seg                      # multi-hit (3 copies genome-wide)
+    reads[32:40, 10] = 4                  # N-containing reads
+    lengths = np.full(len(reads), 100, np.int32)
+    reads, lengths = pad_rows(reads, lengths)
+
+    params = AlignParams(batch_size=len(reads))
+    single = AlignEngine(to_device(build_index(seqs)), params
+                         ).align_with_rescue(reads, lengths)
+    ci = build_chunked_index(seqs, num_chunks=3, overlap=256)
+    assert ci.num_chunks == 3
+    res = ChunkedAligner(ci, params).align(reads, lengths)
+
+    for k in ("unique", "any_hit", "best_mm", "next_mm", "inst", "is_rc"):
+        np.testing.assert_array_equal(res[k], single[k], err_msg=k)
+    np.testing.assert_array_equal(
+        res["locus"], single["locus"].astype(np.int64)
+    )
+    valid = res["ml_mm"] != 255
+    np.testing.assert_array_equal(valid, single["ml_mm"] != 255)
+    np.testing.assert_array_equal(res["ml_mm"][valid],
+                                  single["ml_mm"][valid])
+    np.testing.assert_array_equal(
+        res["ml_loci"][valid], single["ml_loci"].astype(np.int64)[valid]
+    )
+    np.testing.assert_array_equal(res["ml_rc"][valid],
+                                  single["ml_rc"][valid])
+    # the repeat reads really are multi-hit
+    assert (res["inst"][:32] >= 3).all()
+    assert res["unique"].sum() > 9000
+
+
+def test_chunked_cli_se_pe(tmp_path):
+    from biokanga_tpu.cli import main
+    from biokanga_tpu.seq.fasta import write_fasta, write_fastq
+    from biokanga_tpu.sim.simreads import SimReadTruth
+
+    seqs = random_genome([("chr1", 40000), ("chr2", 30000)], seed=21)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, seqs)
+    idx = str(tmp_path / "ref.cidx.npz")
+    assert main(["index", "-i", ref, "-o", idx, "--chunks", "3",
+                 "--chunk-overlap", "1024", "--lut-bases", "10"]) == 0
+
+    names, reads, _ = simulate_reads(seqs, 600, read_len=100,
+                                     sub_rate=0.01, seed=6)
+    fq = str(tmp_path / "r.fastq")
+    write_fastq(fq, [(n, r, None) for n, r in zip(names, reads)])
+    sam = str(tmp_path / "out.sam")
+    assert main(["align", "-i", fq, "-I", idx, "-o", sam,
+                 "--batch-size", "512"]) == 0
+    ok = tot = 0
+    for line in open(sam):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if f[2] == "*":
+            continue
+        t = SimReadTruth.parse(f[0])
+        tot += 1
+        ok += t.chrom == f[2] and t.start == int(f[3])
+    assert tot > 550 and ok / tot > 0.99
+
+    # PE through the chunked path
+    pnames, preads, _ = simulate_reads(
+        seqs, 300, read_len=100, sub_rate=0.01, seed=7, pe=True,
+        insert_min=200, insert_max=400,
+    )
+    fq1, fq2 = str(tmp_path / "p1.fastq"), str(tmp_path / "p2.fastq")
+    write_fastq(fq1, [(n, r, None)
+                      for n, r in zip(pnames[0::2], preads[0::2])])
+    write_fastq(fq2, [(n, r, None)
+                      for n, r in zip(pnames[1::2], preads[1::2])])
+    psam = str(tmp_path / "pe.sam")
+    assert main(["align", "-i", fq1, "-u", fq2, "-I", idx, "-o", psam,
+                 "-d", "150", "-D", "450", "--batch-size", "512"]) == 0
+    proper = 0
+    for line in open(psam):
+        if line.startswith("@"):
+            continue
+        flag = int(line.split("\t")[1])
+        proper += bool(flag & 0x2)
+    assert proper > 550  # of 600 mate records
+
+
+def test_chunk_plan_and_blocks():
+    from biokanga_tpu.index.chunked import plan_chunks
+
+    plans = plan_chunks(10_000, 3000, 128)
+    assert plans[0] == (0, 2500, 2628)
+    assert sum(p[1] for p in plans) == 10_000
+    assert plans[-1][0] + plans[-1][2] <= 10_000
+
+    seqs = random_genome([("c", 30000)], seed=2)
+    _, reads, _ = simulate_reads(seqs, 256, read_len=72, sub_rate=0.01,
+                                 seed=8)
+    lengths = np.full(len(reads), 72, np.int32)
+    ci = build_chunked_index(seqs, num_chunks=2, overlap=128)
+    ca = ChunkedAligner(ci, AlignParams(batch_size=256))
+    blocks = [(reads[:128], lengths[:128]), (reads[128:], lengths[128:])]
+    outs = ca.align_blocks(blocks)
+    one = ca.align(reads, lengths)
+    got = np.concatenate([o["locus"] for o in outs])
+    np.testing.assert_array_equal(got, one["locus"])
+    assert one["unique"].all()

@@ -1,43 +1,67 @@
-"""Sharded (multi-device) align must equal the single-device path.
+"""Sharded (multi-device) align must EXACTLY equal the single-device path.
 
-Runs on the 8-virtual-CPU-device mesh from conftest.py.
+Chunk-per-'sp'-shard design (parallel/sharded.py): full result-dict
+equality on >= 10k reads including multi-hit, overflow-rescued, and
+N-containing cases, with chunk cuts mid-entry.  Runs on the
+8-virtual-CPU-device mesh from conftest.py.
 """
 import jax
 import numpy as np
 import pytest
 
 from biokanga_tpu.align.params import AlignParams
-from biokanga_tpu.align.pipeline import AlignEngine
+from biokanga_tpu.align.pipeline import AlignEngine, pad_rows
 from biokanga_tpu.index.build import build_index
+from biokanga_tpu.index.chunked import build_chunked_index
 from biokanga_tpu.index.device import to_device
-from biokanga_tpu.parallel.sharded import build_sharded_align_fn, make_mesh, shard_index
+from biokanga_tpu.parallel.sharded import ShardedAligner, make_mesh
 from biokanga_tpu.sim.simreads import random_genome, simulate_reads
 
 
-@pytest.mark.parametrize("n_dp,n_sp", [(2, 4), (4, 2), (1, 8), (8, 1)])
-def test_sharded_matches_single(n_dp, n_sp):
+def _genome(seed=31):
+    seqs = random_genome([("c1", 30000), ("c2", 25000), ("c3", 20000)],
+                         seed=seed)
+    seg = seqs[0][1][2000:2600].copy()
+    seqs[1][1][7000:7600] = seg       # multi-hit repeat, 3 copies
+    seqs[2][1][11000:11600] = seg
+    rng = np.random.default_rng(4)
+    for _, s in seqs:
+        s[rng.choice(len(s), size=30, replace=False)] = 4
+    return seqs
+
+
+@pytest.mark.parametrize("n_dp,n_sp", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_matches_single_exact(n_dp, n_sp):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    seqs = random_genome([("c1", 12000), ("c2", 9000)], seed=31)
-    idx = build_index(seqs, lut_bases=8)
-    params = AlignParams(cand_per_core=48)
-
-    names, reads, truths = simulate_reads(
-        seqs, 64, read_len=100, sub_rate=0.02, seed=13
-    )
+    seqs = _genome()
+    _, reads, _ = simulate_reads(seqs, 10_000, read_len=100, sub_rate=0.02,
+                                 seed=13)
+    seg = np.ascontiguousarray(seqs[0][1][2100:2200])
+    reads[:16] = seg              # multi-hit
+    reads[16:24, 3] = 4           # N cases
     lengths = np.full(len(reads), 100, dtype=np.int32)
+    reads, lengths = pad_rows(reads, lengths)
 
-    single = AlignEngine(to_device(idx), params).align_batch(reads, lengths)
+    params = AlignParams(cand_per_core=48, batch_size=len(reads))
+    single = AlignEngine(to_device(build_index(seqs, lut_bases=8)), params
+                         ).align_with_rescue(reads, lengths)
 
+    ci = build_chunked_index(seqs, num_chunks=n_sp, overlap=256, lut_bases=8)
     mesh = make_mesh(n_dp, n_sp)
-    sidx = shard_index(idx, mesh)
-    dp = params.derive(100, idx.total_len)
-    step = build_sharded_align_fn(mesh, sidx, params, dp, H=params.cand_per_core)
-    out = jax.device_get(step(reads, lengths))
+    out = ShardedAligner(mesh, ci, params).align(reads, lengths)
 
-    np.testing.assert_array_equal(out["unique"], single["unique"])
-    np.testing.assert_array_equal(out["best_mm"], single["best_mm"])
-    # locus/strand must agree wherever unique
-    u = np.asarray(single["unique"])
-    np.testing.assert_array_equal(out["locus"][u], single["locus"][u])
-    np.testing.assert_array_equal(out["is_rc"][u], single["is_rc"][u])
-    assert np.asarray(single["unique"]).sum() > 50
+    for k in ("unique", "any_hit", "best_mm", "next_mm", "inst", "is_rc"):
+        np.testing.assert_array_equal(out[k], single[k], err_msg=k)
+    np.testing.assert_array_equal(out["locus"],
+                                  single["locus"].astype(np.int64))
+    valid = out["ml_mm"] != 255
+    np.testing.assert_array_equal(valid, single["ml_mm"] != 255)
+    np.testing.assert_array_equal(out["ml_mm"][valid],
+                                  single["ml_mm"][valid])
+    np.testing.assert_array_equal(
+        out["ml_loci"][valid], single["ml_loci"].astype(np.int64)[valid]
+    )
+    np.testing.assert_array_equal(out["ml_rc"][valid],
+                                  single["ml_rc"][valid])
+    assert (out["inst"][:16] >= 3).all()
+    assert single["unique"].sum() > 9000
