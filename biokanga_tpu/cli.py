@@ -701,11 +701,33 @@ def cmd_simreads(argv: list[str]) -> int:
                         "the source window's min-Hamming")
     p.add_argument("-C", "--colorspace", action="store_true",
                    help="emit SOLiD colorspace reads (.csfasta, primer T)")
+    p.add_argument("-N", "--snprate", type=int, default=0,
+                   help="plant simulated SNPs at this rate per Mbp "
+                        "(SimReads.cpp:2437 role)")
+    p.add_argument("--outsnps", default=None,
+                   help="write simulated-SNP truth BED here (with -N)")
+    p.add_argument("-X", "--indelrate", type=float, default=0.0,
+                   help="per-read InDel probability 0..1 (SimInDels role)")
+    p.add_argument("-x", "--indelsize", type=int, default=3,
+                   help="max InDel size 1..9")
+    p.add_argument("-g", "--generrmode", default="none",
+                   choices=("none", "fixed", "static", "dyn"),
+                   help="induced sequencer-error mode (etSEMode)")
+    p.add_argument("-z", "--seqerrrate", type=float, default=0.01,
+                   help="dyn mode per-base error rate / fixed mode count")
+    p.add_argument("-Z", "--unifomdist", action="store_true",
+                   help="uniform error placement (default: Illumina "
+                        "3'-weighted spatial profile when -g is set)")
+    p.add_argument("-R", "--proprandreads", type=float, default=0.0,
+                   help="proportion of completely random reads 0..0.9")
     args = p.parse_args(argv)
     from .seq.fasta import read_seqs, write_fasta, write_fastq
-    from .sim.simreads import simulate_reads
+    from .sim.simreads import plant_snps, simulate_reads
 
     seqs = [(r.name, r.codes) for r in read_seqs(args.infasta)]
+    if args.snprate:
+        seqs, _snps = plant_snps(seqs, args.snprate, seed=args.seed,
+                                 bed_path=args.outsnps)
     hmg = None
     if args.hammings:
         from .tools.uhamming import load_hmg
@@ -716,6 +738,10 @@ def cmd_simreads(argv: list[str]) -> int:
         sub_rate=args.sub_rate, seed=args.seed, pe=args.pe,
         insert_min=args.insert_min, insert_max=args.insert_max,
         hammings=hmg,
+        indel_rate=args.indelrate, indel_size=args.indelsize,
+        error_mode=args.generrmode, error_rate=args.seqerrrate,
+        error_uniform=args.unifomdist or args.generrmode == "none",
+        prop_random=args.proprandreads,
     )
 
     def write(path, recs):

@@ -1,0 +1,215 @@
+"""Device-side index build: keys, suffix sort, LUT and packed rows all on
+the TPU — the SURVEY §7.1 layer-2 "jax.lax.sort build" path.
+
+Why: the reference builds its suffix array with a multithreaded host qsort
+(CSfxArrayV3::SfxBlock2Disk -> CMTqsort, libbiokanga/SfxArrayV2.cpp:414-470,
+9451-9490).  On this machine the host sample-sort runs ~100 Mbp / 3 min,
+while one TPU chip sorts 64M 2x-uint32 key tuples in ~0.4 s — and, just as
+important, a device-built chunk never crosses the host<->device link: only
+the raw 2-bit-able int8 codes are uploaded (n bytes), not the 13n-byte
+index.  This makes genome-scale chunk cycling practical: upload slice ->
+build on device -> align all batches -> drop -> next chunk
+(DeviceBuildChunkedAligner), the big-genome single-chip path.
+
+The sort is (key_hi, key_lo, pos) with num_keys=3, i.e. ties break by
+position ascending — bit-identical to the host build's stable lexsort.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.params import AlignParams
+from ..ops.extend_packed import (
+    BASES_PER_WORD,
+    PAD_ROWS,
+    ROW_STRIDE_BASES,
+    ROW_WORDS,
+    PackedGenome,
+)
+from .device import MAX_CAND_PER_CORE, DeviceIndex
+
+
+@partial(jax.jit, static_argnames=("lut_bases",))
+def _build_arrays(codes: jax.Array, lut_bases: int):
+    """codes (n,) int8 (N=4) -> (pos_rows, key_hi, key_lo, lut, pk_rows,
+    pk_nrows) — the whole index build as one compiled graph."""
+    n = codes.shape[0]
+    b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
+    is_n = (codes >= 4).astype(jnp.uint32)
+
+    # 32-base bounded keys: hi packs bases [i, i+16), lo packs [i+16, i+32)
+    bp = jnp.concatenate([b, jnp.zeros(32, jnp.uint32)])
+    hi = jnp.zeros(n + 16, dtype=jnp.uint32)
+    for j in range(16):
+        hi = hi + (
+            jax.lax.dynamic_slice(bp, (j,), (n + 16,))
+            << jnp.uint32(2 * (15 - j))
+        )
+    lo = hi[16 : n + 16]
+    hi = hi[:n]
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key_hi, key_lo, order = jax.lax.sort((hi, lo, pos), dimension=0,
+                                         num_keys=3)
+
+    # LUT: bucket starts by P-base prefix, via batched searchsorted
+    # (bucket 4^P's bound would overflow uint32; it is simply n)
+    P = lut_bases
+    bounds = (jnp.arange(4**P, dtype=jnp.uint32)
+              << jnp.uint32(32 - 2 * P))
+    lut = jnp.concatenate([
+        jnp.searchsorted(key_hi, bounds, side="left").astype(jnp.int32),
+        jnp.full((1,), n, jnp.int32),
+    ])
+
+    # tail-padded row layout for aligned candidate gathers
+    pad = MAX_CAND_PER_CORE + (-(n + MAX_CAND_PER_CORE) % 64)
+    pos_padded = jnp.concatenate([order, jnp.zeros(pad, jnp.int32)])
+    pos_rows = pos_padded.reshape(-1, 64)
+
+    # packed 2-bit overlapping rows (ops/extend_packed.pack_genome on device)
+    n_words = 8 * (n // ROW_STRIDE_BASES + PAD_ROWS)
+    total = n_words * BASES_PER_WORD
+    bb = jnp.concatenate([b, jnp.zeros(total - n, jnp.uint32)])
+    nn = jnp.concatenate(
+        [is_n * jnp.uint32(3), jnp.full(total - n, 3, jnp.uint32)]
+    )
+
+    def pack_words(v):
+        v = v.reshape(-1, BASES_PER_WORD)
+        shifts = jnp.uint32(2) * (
+            jnp.uint32(15) - jnp.arange(16, dtype=jnp.uint32)
+        )
+        return jnp.sum(v << shifts, axis=1, dtype=jnp.uint32)
+
+    def overlap_rows(words):
+        R = n_words // 8
+        wp = jnp.concatenate([words, jnp.zeros(16, jnp.uint32)])
+        return jnp.stack(
+            [jax.lax.dynamic_slice(wp, (j,), (n_words,))[::8][:R]
+             for j in range(ROW_WORDS)],
+            axis=1,
+        )
+
+    pk_rows = overlap_rows(pack_words(bb))
+    pk_nrows = overlap_rows(pack_words(nn))
+    return pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows
+
+
+def device_build_index(
+    codes: np.ndarray,
+    entry_starts: np.ndarray,
+    lut_bases: int = 12,
+    owned: int | None = None,
+    device=None,
+) -> DeviceIndex:
+    """Build a DeviceIndex directly on device from host int8 codes.
+
+    Only the codes cross the host->device link; keys/sort/LUT/packed rows
+    are computed on-chip.  `owned` sets the genome-range chunk ownership
+    limit (index/chunked.py semantics)."""
+    n = len(codes)
+    codes_d = jax.device_put(np.asarray(codes, np.int8), device)
+    pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows = _build_arrays(
+        codes_d, lut_bases
+    )
+    max_bucket = int(jnp.max(jnp.diff(lut)))
+    steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
+    return DeviceIndex(
+        genome=codes_d,
+        entry_starts=jax.device_put(
+            np.asarray(entry_starts, np.int32), device
+        ),
+        pos_rows=pos_rows,
+        key_hi=key_hi,
+        key_lo=key_lo,
+        lut=lut,
+        lut_bases=lut_bases,
+        entry_names=[],
+        packed=PackedGenome(rows=pk_rows, n_rows=pk_nrows, length=n),
+        max_bsearch_steps=steps,
+        owned=None if owned is None else jnp.asarray(np.int32(owned)),
+    )
+
+
+class DeviceBuildChunkedAligner:
+    """Big-genome single-chip driver: cycle genome-range chunks through
+    HBM, building each chunk's index ON DEVICE (upload = codes only),
+    align every read block against it, then merge exactly
+    (parallel/chunked.merge_chunk_results).  The TPU-native form of the
+    reference's block-at-a-time SetTargBlock sweep
+    (libbiokanga/SfxArrayV2.cpp:1903) at >2^31-base scale.
+    """
+
+    def __init__(self, seqs: list[tuple[str, np.ndarray]],
+                 params: AlignParams | None = None,
+                 max_chunk: int = 256_000_000, overlap: int = 2048,
+                 lut_bases: int = 12, device=None):
+        from .chunked import plan_chunks
+
+        self.params = params or AlignParams()
+        self.lut_bases = lut_bases
+        self.device = device
+        self.entry_names = [nm for nm, _ in seqs]
+        starts = np.zeros(len(seqs) + 1, np.int64)
+        for i, (_, s) in enumerate(seqs):
+            starts[i + 1] = starts[i] + len(s)
+        self.entry_starts = starts
+        total = int(starts[-1])
+        self._codes = (
+            seqs[0][1] if len(seqs) == 1
+            else np.concatenate([s for _, s in seqs])
+        )
+        self.plans = plan_chunks(total, max_chunk, overlap)
+        self.bases = np.asarray([p[0] for p in self.plans], np.int64)
+        # pad every chunk to the max slice length so ONE compiled graph
+        # serves all chunks (N-pad; see index/chunked.pad_chunk_arrays)
+        self.pad_n = (max(p[2] for p in self.plans) // 128 + 1) * 128
+
+    @property
+    def num_chunks(self) -> int:
+        return len(self.plans)
+
+    def _chunk_codes(self, k: int):
+        base, own, slice_len = self.plans[k]
+        codes = np.full(self.pad_n, 4, np.int8)
+        codes[:slice_len] = self._codes[base : base + slice_len]
+        es = np.clip(self.entry_starts - base, 0, slice_len)
+        return codes, es.astype(np.int64), own
+
+    def build_chunk(self, k: int) -> DeviceIndex:
+        codes, es, own = self._chunk_codes(k)
+        return device_build_index(codes, es, self.lut_bases, owned=own,
+                                  device=self.device)
+
+    def align_blocks(self, blocks, progress=None):
+        """Chunk-major streaming; returns merged dicts per block (int64
+        global loci)."""
+        from ..align.pipeline import AlignEngine
+        from ..parallel.chunked import merge_chunk_results
+
+        engine = None
+        per_block = [[] for _ in blocks]
+        for k in range(self.num_chunks):
+            didx = self.build_chunk(k)
+            if engine is None:
+                engine = AlignEngine(didx, self.params)
+            else:
+                engine.didx = didx
+            for b, (reads, lengths) in enumerate(blocks):
+                per_block[b].append(engine.align_with_rescue(reads, lengths))
+            if progress:
+                progress(k)
+        out = []
+        for b, (reads, lengths) in enumerate(blocks):
+            res = merge_chunk_results(per_block[b], self.bases, lengths,
+                                      self.params)
+            out.append(res)
+        return out
+
+    def align(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
+        return self.align_blocks([(reads, lengths)])[0]

@@ -55,6 +55,115 @@ class SimReadTruth:
         )
 
 
+# --- induced sequencer-error profiles (SimReads.cpp SimSeqErrors) ------
+# static profile: proportions of reads with 0..7 subs, remainder 8
+# (StaticErrProfile table, biokanga/SimReads.cpp)
+STATIC_ERR_PROFILE = [0.367879, 0.367879, 0.183944, 0.061313, 0.015328,
+                      0.003066, 0.000511, 0.000073]
+# Illumina cumulative spatial distribution: moderate 5' increase, most
+# subs at the 3' end (IlluminaSpatialDist, biokanga/SimReads.cpp)
+ILLUMINA_SPATIAL = np.array([40, 55, 64, 72, 80, 88, 96, 104, 112, 121,
+                             131, 142, 156, 174, 197, 228, 270, 325, 400,
+                             500])
+
+
+def _num_subs_profile(n: int, L: int, mode: str, rate: float, rng):
+    """Per-read induced-substitution counts for each -g error mode."""
+    if mode == "none":
+        return np.zeros(n, np.int64)
+    if mode == "fixed":       # eSEPfixerrs: fixed count per read
+        return np.full(n, max(0, int(rate)), np.int64)
+    if mode == "static":      # eSEPstatic: the internal profile table
+        probs = list(STATIC_ERR_PROFILE)
+    elif mode == "dyn":       # eSEPdyn: derived from per-base rate
+        probs, acc = [], 0.0
+        cur = (1.0 - rate) ** L
+        for _ in range(8):
+            probs.append(cur)
+            acc += cur
+            cur = (1.0 - acc) / 2
+    else:
+        raise ValueError(f"unknown error mode {mode}")
+    probs.append(max(0.0, 1.0 - sum(probs)))  # remainder -> 8 subs
+    p = np.asarray(probs) / sum(probs)
+    return rng.choice(len(p), size=n, p=p).astype(np.int64)
+
+
+def induce_seq_errors(reads: np.ndarray, lengths, mode: str, rate: float,
+                      uniform: bool, rng) -> np.ndarray:
+    """In-place induced substitutions (eSEPfixerrs/static/dyn modes with
+    uniform or Illumina-spatial placement).  Returns actual per-read
+    substitution counts."""
+    n, L = reads.shape
+    lengths = np.broadcast_to(np.asarray(lengths), (n,))
+    want = _num_subs_profile(n, L, mode, rate, rng)
+    want = np.minimum(want, lengths)
+    subbed = np.zeros((n, L), bool)
+    smax = int(want.max()) if n else 0
+    seg_w = np.diff(np.concatenate([[0], ILLUMINA_SPATIAL])) / 500.0
+    K = len(ILLUMINA_SPATIAL)
+    # extra rounds retry position collisions (the reference loops until
+    # the exact count lands, SimSeqErrors while(RandSubs < NumSubs2Induce))
+    for k in range(smax + 12):
+        live = subbed.sum(axis=1) < want
+        if uniform:
+            pos = rng.integers(0, lengths)
+        else:
+            seg = rng.choice(K, size=n, p=seg_w)
+            lo = (seg * lengths) // K
+            hi = np.where(seg == K - 1, lengths - 1,
+                          lo + np.maximum(lengths // K, 1) - 1)
+            pos = lo + (rng.random(n) * (hi - lo + 1)).astype(np.int64)
+            pos = np.minimum(pos, lengths - 1)
+        hit = live & ~subbed[np.arange(n), pos] & (reads[np.arange(n), pos] < 4)
+        delta = rng.integers(1, 4, size=n)
+        rows = np.nonzero(hit)[0]
+        reads[rows, pos[rows]] = (reads[rows, pos[rows]] + delta[rows]) % 4
+        subbed[rows, pos[rows]] = True
+    return subbed.sum(axis=1)
+
+
+def plant_snps(
+    seqs: list[tuple[str, np.ndarray]],
+    snp_rate_per_mbp: int,
+    seed: int = 1,
+    bed_path: str | None = None,
+):
+    """Plant simulated SNPs into a COPY of the genome at `snp_rate_per_mbp`
+    (1 + len*rate/1e6 per entry, cf. SimReads.cpp:2437 simulated-SNP loop)
+    and optionally write the truth BED (track 'SimSNPs').
+
+    Returns (mutated_seqs, snps) with snps = [(chrom, ofs, ref, alt)].
+    """
+    rng = np.random.default_rng(seed)
+    out_seqs, snps = [], []
+    for name, s in seqs:
+        s2 = s.copy()
+        n_snps = 1 + int(len(s) * snp_rate_per_mbp / 1e6)
+        done = 0
+        while done < n_snps:
+            ofs = int(rng.integers(0, len(s2)))
+            prev = int(s2[ofs])
+            if prev > 3:
+                continue
+            alt = int(rng.integers(0, 4))
+            if alt == prev:
+                continue
+            s2[ofs] = alt
+            snps.append((name, ofs, prev, alt))
+            done += 1
+        out_seqs.append((name, s2))
+    if bed_path:
+        b2a = "ACGTN"
+        with open(bed_path, "w") as f:
+            f.write('track type=bed name="SimSNPs" '
+                    'description="Simulated SNPS"\n')
+            for i, (chrom, ofs, ref, alt) in enumerate(snps):
+                f.write(f"{chrom}\t{ofs}\t{ofs + 1}\tSNP_{i}_"
+                        f"{b2a[ref]}to{b2a[alt]}\t0\t+\n")
+    return out_seqs, snps
+
+
 def simulate_reads(
     seqs: list[tuple[str, np.ndarray]],
     num_reads: int,
@@ -67,6 +176,12 @@ def simulate_reads(
     insert_min: int = 200,
     insert_max: int = 500,
     hammings: np.ndarray | None = None,  # per-absolute-locus min-Hamming
+    indel_rate: float = 0.0,     # -X: per-read InDel probability (0..1)
+    indel_size: int = 3,         # -x: max InDel size (1..9)
+    error_mode: str = "none",    # -g: none|fixed|static|dyn (etSEMode)
+    error_rate: float = 0.01,    # -z: dyn per-base rate / fixed count
+    error_uniform: bool = True,  # -Z: uniform vs Illumina-spatial placement
+    prop_random: float = 0.0,    # -R: proportion of completely random reads
 ):
     """Generate reads. Returns (names, codes (N,L) int8, truths list).
 
@@ -81,12 +196,54 @@ def simulate_reads(
     weights = np.maximum(usable + 1, 0).astype(np.float64)
     weights /= weights.sum()
 
-    if not pe and max_subs_per_read is None:
-        return _simulate_se_fast(seqs, num_reads, read_len, sub_rate,
-                                 strand, rng, weights, hammings=hammings)
-    if pe and max_subs_per_read is None:
-        return _simulate_pe_fast(seqs, num_reads, read_len, sub_rate,
-                                 strand, rng, weights, insert_min, insert_max)
+    # post-processed modes (InDels / error profiles / random reads,
+    # SimReads.cpp SimInDels + SimSeqErrors order): generate base reads
+    # WITHOUT substitutions first, then indel -> induce errors -> random
+    post = indel_rate > 0 or error_mode != "none" or prop_random > 0
+    if max_subs_per_read is None:
+        base_sub = 0.0 if post else sub_rate
+        if pe:
+            names, reads, truths = _simulate_pe_fast(
+                seqs, num_reads, read_len, base_sub, strand, rng, weights,
+                insert_min, insert_max,
+            )
+        else:
+            names, reads, truths = _simulate_se_fast(
+                seqs, num_reads, read_len, base_sub, strand, rng, weights,
+                hammings=hammings,
+            )
+        if post:
+            rng2 = np.random.default_rng(seed + 101)
+            if indel_rate > 0:
+                _apply_indels(seqs, reads, truths, indel_rate, indel_size,
+                              rng2)
+            if error_mode != "none":
+                nsubs = induce_seq_errors(
+                    reads, read_len, error_mode, error_rate, error_uniform,
+                    rng2,
+                )
+            elif sub_rate > 0:
+                mask = (rng2.random(reads.shape) < sub_rate) & (reads < 4)
+                delta = rng2.integers(1, 4, size=reads.shape)
+                reads[:] = np.where(mask, (reads + delta) % 4, reads)
+                nsubs = mask.sum(axis=1)
+            else:
+                nsubs = np.zeros(len(reads), np.int64)
+            if prop_random > 0:
+                rand_rows = np.nonzero(
+                    rng2.random(len(reads)) < prop_random
+                )[0]
+                reads[rand_rows] = rng2.integers(
+                    0, 4, size=(len(rand_rows), read_len), dtype=np.int8
+                )
+                for i in rand_rows:
+                    truths[i].chrom = "random"
+                    truths[i].start = 1
+                    truths[i].end = read_len
+            for i, t in enumerate(truths):
+                t.subs = int(nsubs[i])
+            names = [t.descriptor() for t in truths]
+        return names, reads, truths
 
     names: list[str] = []
     rows: list[np.ndarray] = []
@@ -220,6 +377,54 @@ def _simulate_se_fast(seqs, n, L, sub_rate, strand, rng, weights,
         names.append(t.descriptor())
         truths.append(t)
     return names, reads, truths
+
+
+def _apply_indels(seqs, reads, truths, indel_rate, indel_size, rng):
+    """Per-read simulated InDels (SimReads.cpp SimInDels): with probability
+    indel_rate, insert 1..indel_size random bases (read keeps length L,
+    genomic span shrinks; truth indels = +size) or delete 1..indel_size
+    genomic bases (span grows; truth indels = -size).  Reads are rebuilt
+    from the genome in read orientation, so this runs BEFORE induced
+    substitutions, matching the reference's order."""
+    from ..seq.encode import revcomp
+
+    sd = dict(seqs)
+    n, L = reads.shape
+    sel = np.nonzero(rng.random(n) < indel_rate)[0]
+    for i in sel:
+        t = truths[i]
+        s = sd[t.chrom]
+        g = int(rng.integers(1, indel_size + 1))
+        p = int(rng.integers(0, L - g + 1))
+        minus = t.strand == "-"
+        if rng.integers(0, 2) == 1:
+            # insertion of g random bases at read position p
+            w = s[t.start - 1 : t.end]
+            if minus:
+                w = revcomp(w)
+            ins = rng.integers(0, 4, size=g).astype(np.int8)
+            reads[i] = np.concatenate([w[:p], ins, w[p:]])[:L]
+            if minus:
+                t.start += g
+            else:
+                t.end -= g
+            t.indels = g
+        else:
+            # deletion: read skips g genomic bases after read position p
+            if minus:
+                if t.start - 1 - g < 0:
+                    continue
+                w = revcomp(s[t.start - 1 - g : t.end])
+            else:
+                if t.end + g > len(s):
+                    continue
+                w = s[t.start - 1 : t.end + g]
+            reads[i] = np.concatenate([w[:p], w[p + g :]])
+            if minus:
+                t.start -= g
+            else:
+                t.end += g
+            t.indels = -g
 
 
 def _simulate_pe_fast(seqs, n_pairs, L, sub_rate, strand, rng, weights,
