@@ -208,6 +208,18 @@ def cmd_align(argv: list[str]) -> int:
                    help="only accept hits overlapping these BED regions")
     p.add_argument("--peinsertdist", default=None,
                    help="PE mode: write insert-size distribution CSV here")
+    p.add_argument("--minflankexacts", type=int, default=0,
+                   help="autotrim aligned flanks until at least this many "
+                        "exactly matching flank bases (AutoTrimFlanks, "
+                        "Aligner.cpp:1608; reference -x)")
+    p.add_argument("--pcrprimersubs", type=int, default=0,
+                   help="align with subs+this budget, then correct 5' PCR "
+                        "primer artefacts over the first 12bp back to subs "
+                        "(PCR5PrimerCorrect, Aligner.cpp:2000; ref -6)")
+    p.add_argument("--lociconstraints", default=None,
+                   help="loci base constraints CSV chrom,start,end,bases "
+                        "(IdentifyConstraintViolations, Aligner.cpp:2599; "
+                        "reference -5)")
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
@@ -400,7 +412,9 @@ def cmd_align(argv: list[str]) -> int:
         bam_out = args.out
         args.out = args.out + ".tmp.sam"
     params = AlignParams(
-        max_subs_per100=args.substitutions,
+        # PCR5PrimerCorrect mode aligns with a widened sub budget, then
+        # corrects back to -s (reference -6 semantics, kanga.cpp:251)
+        max_subs_per100=args.substitutions + args.pcrprimersubs,
         min_edit_dist=args.editdelta,
         max_multi=args.maxmulti,
         mode=Sensitivity(args.mode),
@@ -408,6 +422,11 @@ def cmd_align(argv: list[str]) -> int:
         batch_size=args.batch_size,
     )
     engine = AlignEngine(didx, params)
+    constraints = None
+    if args.lociconstraints:
+        from .align.postpass import load_loci_constraints
+
+        constraints = load_loci_constraints(args.lociconstraints)
 
     # PE-interleaved rds container with no -u: split mates internally
     pe_mates = None
@@ -537,6 +556,35 @@ def cmd_align(argv: list[str]) -> int:
                     from .align.postpass import reduce_pcr_duplicates
 
                     reduce_pcr_duplicates(res, lens, keep=args.pcrdedupe)
+                if constraints:
+                    from .align.postpass import (
+                        identify_constraint_violations,
+                    )
+
+                    identify_constraint_violations(
+                        codes, lens, res, idx.codes, idx.entry_names,
+                        idx.entry_starts, constraints,
+                    )
+                if args.pcrprimersubs:
+                    from .align.postpass import pcr5_primer_correct
+
+                    pcr5_primer_correct(codes, lens, res, idx.codes,
+                                        args.substitutions, klen=12)
+                    n0 = len(blk.names)
+                    blk.codes[:n0] = codes[:n0, : blk.codes.shape[1]]
+                if args.minflankexacts:
+                    from .align.postpass import auto_trim_flanks
+
+                    auto_trim_flanks(codes, lens, res, idx.codes,
+                                     args.minflankexacts)
+                if args.splicejunctlen:
+                    from .align.postpass import remove_orphan_splice_juncts
+
+                    remove_orphan_splice_juncts(res, lens)
+                if args.microindellen:
+                    from .align.postpass import remove_orphan_microindels
+
+                    remove_orphan_microindels(res, lens)
                 if prio is not None:
                     prio.apply(res, lens)
                 if pileup is not None:
