@@ -890,14 +890,27 @@ def cmd_filter(argv):
     from .tools.filter_reads import FilterParams, filter_reads
 
     adapters = []
+    contam_db = None
     if args.contaminants:
-        adapters = [r.codes for r in read_seqs(args.contaminants)]
+        # sequences using the reference naming convention ('@' flank /
+        # '&' vector codes, Contaminants.cpp:195-203) load as a full
+        # CContaminants DB; plain adaptor FASTAs keep the legacy
+        # treat-as-3'-adaptor behavior
+        heads = [l for l in open(args.contaminants)
+                 if l.startswith(">")]
+        if any(("@" in h) or ("&" in h) for h in heads):
+            from .seq.contaminants import Contaminants
+
+            contam_db = Contaminants.load(args.contaminants)
+        else:
+            adapters = [r.codes for r in read_seqs(args.contaminants)]
     st = filter_reads(
         args.inreads, args.out,
         FilterParams(
             trim5=args.trim5, trim3=args.trim3, max_ns=args.maxns,
             min_phred=args.min_phred, min_len=args.min_len,
             dedupe=not args.no_dedupe, adapters=adapters,
+            contaminants=contam_db,
         ),
         pair_inpath=args.pair, pair_outpath=args.outpair,
     )
@@ -916,10 +929,19 @@ def cmd_ngsqc(argv):
     p.add_argument("-o", "--out", required=True, help="HTML report path")
     p.add_argument("-k", "--kmer", type=int, default=5)
     p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("-c", "--contaminants", default=None,
+                   help="contaminants multifasta ('@'/'&' overlay-code "
+                        "naming convention, Contaminants.cpp:195-203)")
     args = p.parse_args(argv)
     from .tools.ngsqc import collect_qc, write_html_report
 
-    st = collect_qc(args.inreads, kmer_k=args.kmer, max_reads=args.max_reads)
+    cdb = None
+    if args.contaminants:
+        from .seq.contaminants import Contaminants
+
+        cdb = Contaminants.load(args.contaminants)
+    st = collect_qc(args.inreads, kmer_k=args.kmer,
+                    max_reads=args.max_reads, contaminants=cdb)
     write_html_report(st, args.out)
     print(f"ngsqc: {st.n_reads} reads, {st.n_bases} bases -> {args.out}")
     return 0

@@ -27,6 +27,11 @@ class FilterParams:
     adapters: list = field(default_factory=list)  # int8 code arrays
     adapter_min_overlap: int = 5
     adapter_max_subs: int = 1
+    # full CContaminants DB (flank overlay types 5'/3' x PE1/PE2 + vector
+    # containment, seq/contaminants.py); overrides `adapters` when set
+    contaminants: object | None = None
+    contam_min_overlap: int = 5
+    contam_subs_rate: int = 1    # subs per 25bp of overlap (0 = exact)
 
 
 @dataclass
@@ -34,10 +39,13 @@ class FilterStats:
     total: int = 0
     accepted: int = 0
     trimmed_adapter: int = 0
+    trimmed_contam5: int = 0
+    trimmed_contam3: int = 0
     rej_ns: int = 0
     rej_phred: int = 0
     rej_len: int = 0
     rej_dup: int = 0
+    rej_vector: int = 0
 
 
 def _pack_for_hash(codes: np.ndarray, length: int) -> bytes:
@@ -82,11 +90,33 @@ def filter_reads(
             break
         blk2 = next(blocks2) if pe else None
         B = len(blk1.names)
+        # block-vectorised contaminant matching (flank overlays + vector
+        # containment) on the post-end-trim windows
+        ctrims = {}
+        if p.contaminants is not None:
+            from ..seq.contaminants import T_3PE1, T_3PE2, T_5PE1, T_5PE2
+
+            db = p.contaminants
+            for mate, blk in enumerate((blk1, blk2) if pe else (blk1,)):
+                c = blk.codes[:, p.trim5:]
+                ln = np.clip(blk.lengths - p.trim5 - p.trim3, 0, None)
+                t5 = db.match_flank(
+                    c, ln, T_5PE2 if mate else T_5PE1,
+                    min_overlap=p.contam_min_overlap,
+                    subs_rate=p.contam_subs_rate,
+                )
+                t3 = db.match_flank(
+                    c, ln, T_3PE2 if mate else T_3PE1,
+                    min_overlap=p.contam_min_overlap,
+                    subs_rate=p.contam_subs_rate,
+                )
+                vec = db.match_vectors(c, ln, is_pe2=bool(mate))
+                ctrims[mate] = (t5, t3, vec)
         for i in range(B):
             st.total += 1
             recs = []
             ok = True
-            for blk in ((blk1, blk2) if pe else (blk1,)):
+            for mate, blk in enumerate((blk1, blk2) if pe else (blk1,)):
                 L = int(blk.lengths[i])
                 seq = blk.codes[i, :L].copy()
                 qual = blk.quals[i, :L].copy() if blk.quals is not None else None
@@ -94,6 +124,21 @@ def filter_reads(
                 s5, s3 = p.trim5, L - p.trim3
                 seq = seq[s5:s3]
                 qual = qual[s5:s3] if qual is not None else None
+                # contaminant DB: vector containment rejects; flank
+                # overlays trim (CContaminants semantics)
+                if ctrims:
+                    t5, t3, vec = ctrims[mate]
+                    if vec[i]:
+                        st.rej_vector += 1
+                        ok = False
+                        break
+                    a, b = int(t5[i]), len(seq) - int(t3[i])
+                    if a > 0:
+                        st.trimmed_contam5 += 1
+                    if int(t3[i]) > 0:
+                        st.trimmed_contam3 += 1
+                    seq = seq[a:b]
+                    qual = qual[a:b] if qual is not None else None
                 # adaptor trim
                 for ad in p.adapters:
                     nl = _trim_adapter_3p(seq, ad, p.adapter_min_overlap,

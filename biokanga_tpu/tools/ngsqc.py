@@ -27,9 +27,17 @@ class QCStats:
     kmer_k: int = 5
     dup_groups: dict = field(default_factory=dict)
     err_free_prob_sum: float = 0.0
+    contam_rows: list = field(default_factory=list)
+    contam_reads5: int = 0
+    contam_reads3: int = 0
+    contam_vector: int = 0
 
 
-def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None) -> QCStats:
+def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None,
+               contaminants=None) -> QCStats:
+    """contaminants: optional seq.contaminants.Contaminants DB — flank
+    overlay + vector containment checks per read block (the ReadStats
+    contaminant QC role, biokanga/ReadStats.cpp:2412)."""
     if isinstance(paths, str):
         paths = [paths]
     st = QCStats(kmer_k=kmer_k)
@@ -92,6 +100,21 @@ def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None) -> QCStats:
                 sel = val[ok]
                 if len(sel):
                     st.kmer_counts += np.bincount(sel, minlength=4**k)
+            # contaminant checks (flank overlays + vector containment)
+            if contaminants is not None:
+                from ..seq.contaminants import T_3PE1, T_5PE1
+
+                t5 = contaminants.match_flank(blk.codes, blk.lengths,
+                                              T_5PE1)
+                t3 = contaminants.match_flank(blk.codes, blk.lengths,
+                                              T_3PE1)
+                st.contam_reads5 += int((t5 > 0).sum())
+                st.contam_reads3 += int((t3 > 0).sum())
+                if contaminants.num_vectors:
+                    st.contam_vector += int(
+                        contaminants.match_vectors(blk.codes,
+                                                   blk.lengths).sum()
+                    )
             # duplicates
             for i in range(B):
                 key = blk.codes[i, : blk.lengths[i]].tobytes()
@@ -102,6 +125,8 @@ def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None) -> QCStats:
     cnts = np.array(list(seen.values()))
     for c in cnts:
         st.dup_groups[int(c)] = st.dup_groups.get(int(c), 0) + 1
+    if contaminants is not None:
+        st.contam_rows = contaminants.report_rows()
     return st
 
 
@@ -170,6 +195,27 @@ def write_html_report(st: QCStats, path: str, title="ngsqc report") -> None:
             f"<tr><td><code>{kmer_str(int(v))}</code></td>"
             f"<td>{int(st.kmer_counts[v]):,}</td></tr>"
         )
-    parts.append("</table></body></html>")
+    parts.append("</table>")
+    if st.contam_rows:
+        parts.append(
+            "<h3>Contaminants</h3><table border='1' cellpadding='3'>"
+            "<tr><th>class</th><th>name</th><th>types</th><th>rc</th>"
+            "<th>len</th><th>hits</th></tr>"
+        )
+        for r in st.contam_rows:
+            parts.append(
+                f"<tr><td>{r['class']}</td><td>{r['name']}</td>"
+                f"<td>{r['types']}</td><td>{r['rc']}</td>"
+                f"<td>{r['len']}</td><td>{r['hits']:,}</td></tr>"
+            )
+        parts.append(
+            f"<tr><td colspan='5'>reads with 5' contaminant overlay</td>"
+            f"<td>{st.contam_reads5:,}</td></tr>"
+            f"<tr><td colspan='5'>reads with 3' contaminant overlay</td>"
+            f"<td>{st.contam_reads3:,}</td></tr>"
+            f"<tr><td colspan='5'>reads contained in vector</td>"
+            f"<td>{st.contam_vector:,}</td></tr></table>"
+        )
+    parts.append("</body></html>")
     with open(path, "w") as f:
         f.write("\n".join(parts))
