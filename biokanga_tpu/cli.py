@@ -1062,8 +1062,12 @@ def cmd_blitz(argv):
             n_q += 1
             n_paths += len(paths)
             for path in paths:
-                if args.format in ("psl", "pslx"):
+                if args.format == "psl":
                     f.write(psl_row(path) + "\n")
+                elif args.format == "pslx":
+                    from .tools.blitz import pslx_row
+
+                    f.write(pslx_row(path, didx, rec.codes) + "\n")
                 elif args.format == "bed":
                     f.write(bed_row(path) + "\n")
                 else:

@@ -82,6 +82,48 @@ def seed_range_lookup(
     return start, end
 
 
+@partial(jax.jit, static_argnames=("k", "stride", "S", "H", "lut_bases",
+                                   "max_steps"))
+def rolling_seed_lookup(
+    key_hi, key_lo, lut, pos_rows, seqs: jax.Array,
+    k: int, stride: int, S: int, H: int, lut_bases: int, max_steps: int,
+):
+    """Batched seed lookup with ROLLING k-mer keys: k shifted adds over
+    the whole (B, L) sequence matrix, then a strided slice at the core
+    offsets — compile cost O(k), independent of the number of cores, so
+    multi-Mbp queries (Blitz, 16 Mbp envelope Blitz.h:59-60) and long-read
+    probes trace instantly.  k <= 16 (one key word).
+
+    Returns (pos (B, S, H) int32 candidate positions, valid (B, S, H),
+    size (B, S) true range sizes — for over-occurrence suppression)."""
+    assert 1 <= k <= 16
+    B, L = seqs.shape
+    b = jnp.where(seqs >= 4, 0, seqs).astype(jnp.uint32)
+    bp = jnp.pad(b, ((0, 0), (0, k)))
+    isn = jnp.pad(seqs >= 4, ((0, 0), (0, k)))
+    key = jnp.zeros((B, L), jnp.uint32)
+    nwin = jnp.zeros((B, L), bool)
+    for j in range(k):
+        key = key + (bp[:, j : j + L] << jnp.uint32(2 * (15 - j)))
+        nwin = nwin | isn[:, j : j + L]
+    q_hi = key[:, ::stride][:, :S]
+    has_n = nwin[:, ::stride][:, :S]
+    pad_hi = jnp.uint32((1 << (2 * (16 - k))) - 1)
+    zero = jnp.zeros_like(q_hi)
+    ones = jnp.full_like(q_hi, 0xFFFFFFFF)
+    start, end = seed_range_lookup(
+        key_hi, key_lo, lut, lut_bases, q_hi, zero, q_hi | pad_hi, ones,
+        core_len=k, max_steps=max_steps,
+    )
+    size = jnp.where(has_n, 0, end - start)
+    pos_flat = pos_rows.reshape(-1)
+    j = jnp.arange(H, dtype=jnp.int32)
+    idx = start[..., None] + j
+    pos = pos_flat[jnp.clip(idx, 0, pos_flat.shape[0] - 1)]
+    valid = j[None, None, :] < jnp.minimum(size, H)[..., None]
+    return pos, valid, size
+
+
 def pack_read_kmers(codes: jax.Array, offsets, k: int):
     """Pack k bases at each static offset of each read into query bounds.
 

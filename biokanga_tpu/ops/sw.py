@@ -157,6 +157,77 @@ def traceback(
     return steps, path, ops
 
 
+@partial(jax.jit, static_argnames=("W", "La"))
+def traceback_align_batch(
+    moves: jax.Array,    # (B, La, 2W+1) uint8 traceback codes
+    best_i: jax.Array,   # (B,)
+    best_k: jax.Array,   # (B,)
+    diag: jax.Array,     # (B,)
+    b: jax.Array,        # (B, Lb) int8 target codes
+    blen: jax.Array,     # (B,)
+    W: int, La: int,
+):
+    """Device-side traceback decode for a whole pair batch (vmapped
+    while_loop; the 2-bit move planes NEVER leave HBM — at long-read
+    scale the moves array is ~2 MB/pair, far beyond what a host decode
+    could afford to transfer).
+
+    Returns per probe position i:
+      out      (B, La) int8 — 0..3 aligned target base, 4 = target N,
+               5 = probe base deleted (target gap), 6 = not covered
+      ins_cnt  (B, La+1) int32 — target bases inserted AFTER probe pos i-1
+      ins_base (B, La+1, 4) int32 — per-base insertion votes
+    """
+    K = 2 * W + 1
+    Lb = b.shape[1]
+
+    def one(mv, bi, bk, dg, bseq, bl):
+        out0 = jnp.full((La,), 6, jnp.int8)
+        insc0 = jnp.zeros((La + 1,), jnp.int32)
+        insb0 = jnp.zeros((La + 1, 4), jnp.int32)
+
+        def cond(st):
+            i, k, out, insc, insb, done = st
+            return (~done) & (i >= 0) & (k >= 0) & (k < K)
+
+        def body(st):
+            i, k, out, insc, insb, done = st
+            code = mv[i, k]
+            j = i + dg + k - W
+            jc = jnp.clip(j, 0, Lb - 1)
+            tb = bseq[jc].astype(jnp.int8)
+            tb = jnp.where(tb < 4, tb, 4)
+            in_j = (j >= 0) & (j < bl)
+            is_d = (code == TB_DIAG) & in_j
+            is_u = code == TB_UP
+            is_l = (code == TB_LEFT) & in_j
+            ic = jnp.clip(i, 0, La - 1)
+            newv = jnp.where(is_d, tb, jnp.where(is_u, jnp.int8(5),
+                                                 out[ic]))
+            out = out.at[ic].set(
+                jnp.where(is_d | is_u, newv, out[ic])
+            )
+            ip = jnp.clip(i + 1, 0, La)
+            insc = insc.at[ip].add(jnp.where(is_l, 1, 0))
+            tbc = jnp.clip(tb, 0, 3)
+            insb = insb.at[ip, tbc].add(jnp.where(is_l, 1, 0))
+            i = jnp.where(is_d | is_u, i - 1, i)
+            k = jnp.where(is_u, k + 1, jnp.where(code == TB_LEFT, k - 1, k))
+            done = done | (code == TB_STOP) | (
+                (code == TB_LEFT) & ~is_l
+            ) | ((code == TB_DIAG) & ~is_d)
+            return i, k, out, insc, insb, done
+
+        i0 = bi.astype(jnp.int32)
+        k0 = bk.astype(jnp.int32)
+        st = jax.lax.while_loop(
+            cond, body, (i0, k0, out0, insc0, insb0, jnp.bool_(False))
+        )
+        return st[2], st[3], st[4]
+
+    return jax.vmap(one)(moves, best_i, best_k, diag, b, blen)
+
+
 def sw_score_numpy(a, b, match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
                    gap_open=DEFAULT_GAP_OPEN, gap_ext=DEFAULT_GAP_EXT):
     """Reference full (unbanded) affine local SW score — test oracle."""

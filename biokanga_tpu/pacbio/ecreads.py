@@ -2,30 +2,37 @@
 
 Capability match for CPBErrCorrect (pacbiokanga/PBErrCorrect.cpp:
 Process :2526, ProcPacBioErrCorrect :1268): reads are loaded into an
-in-memory index; per probe read, seed cores locate candidate overlapping
-reads (IteratePacBio role, SfxArrayV2.cpp:3779 — with the
+in-memory index; seed cores locate candidate overlapping reads
+(IteratePacBio role, SfxArrayV2.cpp:3779 — with the
 min-seed-votes-per-extension rule, cPacBioMinKmersExtn SfxArrayV2.h:46),
 candidates are Smith-Waterman aligned (ops/sw.py banded kernel replacing
-CSSW::Align, SSW.cpp:992), accepted overlaps stack into a column
-multialignment and a majority consensus corrects the probe
-(CSSW::GenConsensusFromMAF role, SSW.cpp:2115; CMAConsensus role).
+CSSW::Align, SSW.cpp:992), accepted overlaps stack into column votes and
+a majority consensus corrects each probe (CSSW::GenConsensusFromMAF
+role, SSW.cpp:2115; CMAConsensus role).
 
-The reference distributes SW jobs over its BKS TCP service; here the SW
-batch is a single device call, and the multi-chip variant shards the
-job batch over the mesh 'dp' axis (parallel/swservice.py).
+BATCHED TPU dataflow (replacing the reference's thread pool + BKS TCP
+job service): ONE device call seeds every probe at once; candidate
+clustering is vectorised host numpy (np.unique over (probe, target,
+diagonal-band) keys); ALL (probe, candidate) SW pairs run as chunked
+device batches sized by the traceback-plane budget; tracebacks decode
+ON DEVICE (ops/sw.traceback_align_batch — the 2-bit move planes never
+cross the host link) and scatter directly into device-resident per-probe
+column-vote planes; the consensus call is one more device pass, and only
+the compact per-probe calls return to host.
 """
 from __future__ import annotations
 
-from collections import defaultdict
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import build_index
 from ..index.device import to_device
 from ..ops.lookup import pack_read_kmers, seed_range_lookup
-from ..ops.sw import banded_sw_batch, traceback
+from ..ops.sw import banded_sw_batch, traceback_align_batch
 from ..seq.encode import revcomp
 
 
@@ -39,154 +46,246 @@ class ECParams:
     min_overlap_score: int = 60
     min_cov_for_call: int = 2     # column votes needed to overrule probe
     max_targets: int = 24         # overlap candidates per probe
+    sw_chunk_bytes: int = 1 << 30  # traceback-plane budget per dispatch
 
 
-def _seed_hits(didx, idx, probe: np.ndarray, p: ECParams):
-    """(target_entry, diag, qofs) seed hits of probe cores in the read set."""
-    k = p.seed_len
-    offsets = tuple(range(0, len(probe) - k + 1, p.seed_stride))
-    if not offsets:
-        return np.zeros((0, 3), np.int64)
-    q = jnp.asarray(probe[None, :])
-    qlh, qll, qhh, qhl, has_n = pack_read_kmers(q, offsets, k)
+def _pad_reads(reads: list[np.ndarray]):
+    L = max(len(r) for r in reads)
+    L = -(-L // 64) * 64
+    arr = np.full((len(reads), L), 4, np.int8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        arr[i, : len(r)] = r
+        lens[i] = len(r)
+    return arr, lens
+
+
+@partial(jax.jit, static_argnames=("k", "H", "stride", "S", "max_steps",
+                                   "lut_bases"))
+def _seed_all(key_hi, key_lo, lut, pos_rows, probes, k, H, stride, S,
+              lut_bases, max_steps):
+    """One device call: (N, S, H) candidate positions for every probe.
+
+    Rolling k-mer keys (k shifted adds over the whole probe matrix, then
+    a strided slice at the core offsets) instead of a per-offset slice
+    stack — compile stays O(k), not O(num_offsets)."""
+    N, L = probes.shape
+    assert k <= 16
+    b = jnp.where(probes >= 4, 0, probes).astype(jnp.uint32)
+    bp = jnp.pad(b, ((0, 0), (0, k)))
+    key = jnp.zeros((N, L), jnp.uint32)
+    isn = jnp.pad((probes >= 4), ((0, 0), (0, k)))
+    nwin = jnp.zeros((N, L), bool)
+    for j in range(k):
+        key = key + (bp[:, j : j + L] << jnp.uint32(2 * (15 - j)))
+        nwin = nwin | isn[:, j : j + L]
+    q_hi = key[:, ::stride][:, :S]
+    has_n = nwin[:, ::stride][:, :S]
+    pad_hi = jnp.uint32((1 << (2 * (16 - k))) - 1)
+    zero = jnp.zeros_like(q_hi)
+    ones = jnp.full_like(q_hi, 0xFFFFFFFF)
     start, end = seed_range_lookup(
-        didx.key_hi, didx.key_lo, didx.lut, didx.lut_bases,
-        qlh, qll, qhh, qhl, core_len=k, max_steps=didx.max_bsearch_steps,
+        key_hi, key_lo, lut, lut_bases, q_hi, zero, q_hi | pad_hi, ones,
+        core_len=k, max_steps=max_steps,
     )
-    start = np.asarray(start)[0]
-    end = np.asarray(end)[0]
-    has_n = np.asarray(has_n)[0]
+    size = jnp.minimum(end - start, H)
+    size = jnp.where(has_n, 0, size)
+    pos_flat = pos_rows.reshape(-1)
+    j = jnp.arange(H, dtype=jnp.int32)
+    idx = start[..., None] + j
+    pos = pos_flat[jnp.clip(idx, 0, pos_flat.shape[0] - 1)]
+    valid = j[None, None, :] < size[..., None]
+    return pos, valid
+
+
+def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams):
+    """Vectorised candidate clustering for ALL probes at once.
+
+    Returns (pair_probe, pair_entry, pair_diag) host arrays — one row per
+    accepted (probe, target entry) overlap candidate, at most
+    p.max_targets per probe, ordered by descending seed votes."""
+    N, L = probes.shape
+    k = p.seed_len
+    offsets = tuple(range(0, L - k + 1, p.seed_stride))
+    S = len(offsets)
     H = 16
-    size = np.minimum(end - start, H)
-    size[has_n] = 0
-    pos_sorted = np.asarray(didx.pos_sorted)
-    starts = idx.entry_starts
-    rows = []
-    for s_i, ofs in enumerate(offsets):
-        for j in range(size[s_i]):
-            ppos = int(pos_sorted[start[s_i] + j])
-            e = int(np.searchsorted(starts, ppos, side="right")) - 1
-            toff = ppos - int(starts[e])
-            rows.append((e, toff - ofs, ofs))
-    return np.array(rows, np.int64) if rows else np.zeros((0, 3), np.int64)
-
-
-def find_overlap_candidates(didx, idx, probe_id: int, probe: np.ndarray,
-                            p: ECParams):
-    """Cluster seed hits by (target, diagonal band); returns
-    [(target_id, diag_estimate, votes)] sorted by votes."""
-    hits = _seed_hits(didx, idx, probe, p)
-    votes = defaultdict(list)
-    for e, diag, ofs in hits:
-        if e == probe_id:
-            continue
-        votes[(int(e), int(diag) // p.diag_band)].append(int(diag))
-    out = []
-    for (e, db), diags in votes.items():
-        if len(diags) >= p.min_seed_votes:
-            out.append((e, int(np.median(diags)), len(diags)))
-    out.sort(key=lambda x: -x[2])
-    return out[: p.max_targets]
-
-
-def correct_read(
-    probe: np.ndarray,
-    targets: list[tuple[np.ndarray, int]],   # (target seq, diag)
-    p: ECParams,
-):
-    """SW-align the probe against each target and take a column-majority
-    consensus. Returns (corrected, n_used_overlaps)."""
-    if not targets:
-        return probe.copy(), 0
-    B = len(targets)
-    La = len(probe)
-    Lb = max(len(t) for t, _ in targets)
-    a = np.tile(probe, (B, 1)).astype(np.int8)
-    b = np.full((B, Lb), 4, np.int8)
-    blen = np.zeros(B, np.int32)
-    diag = np.zeros(B, np.int32)
-    for i, (t, d) in enumerate(targets):
-        b[i, : len(t)] = t
-        blen[i] = len(t)
-        diag[i] = d
-    alen = np.full(B, La, np.int32)
-    best, bi, bk, moves = banded_sw_batch(
-        jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen),
-        jnp.asarray(blen), jnp.asarray(diag), p.sw_band, La, Lb,
+    pos, valid = _seed_all(
+        didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows,
+        jnp.asarray(probes), k, H, p.seed_stride, S, didx.lut_bases,
+        didx.max_bsearch_steps,
     )
-    best = np.asarray(best)
-    bi = np.asarray(bi)
-    bk = np.asarray(bk)
-    moves = np.asarray(moves)
+    pos = np.asarray(pos, np.int64)
+    valid = np.asarray(valid)
+    starts = idx.entry_starts
+    offs = np.asarray(offsets, np.int64)[None, :, None]
+    ent = np.searchsorted(starts, pos, side="right") - 1
+    diag = (pos - starts[np.clip(ent, 0, len(starts) - 2)]) - offs
+    pid = np.broadcast_to(np.arange(N, dtype=np.int64)[:, None, None],
+                          pos.shape)
 
-    # column votes: probe position -> base counts (0..3) + delete(4);
-    # insertion votes: (probe position, base) for target bases inserted
-    # AFTER probe position i (the 'I' step semantics of the traceback)
-    votes = np.zeros((La, 5), np.int32)
-    ins_votes = np.zeros((La + 1, 4), np.int32)
-    used = 0
-    for t in range(B):
-        if best[t] < p.min_overlap_score:
-            continue
-        steps, path, ops = traceback(moves[t], int(bi[t]), int(bk[t]),
-                                     int(diag[t]), p.sw_band)
-        if not path:
-            continue
-        used += 1
-        tgt = b[t]
-        for op, i, j in steps:
-            if op == "M":
-                if 0 <= i < La and 0 <= j < blen[t] and tgt[j] < 4:
-                    votes[i, tgt[j]] += 1
-            elif op == "D":
-                # probe base i aligned against a target gap: delete vote
-                if 0 <= i < La:
-                    votes[i, 4] += 1
-            elif op == "I":
-                # target base j inserted after probe position i
-                if -1 <= i < La and 0 <= j < blen[t] and tgt[j] < 4:
-                    ins_votes[i + 1, tgt[j]] += 1
-    # consensus call (CSSW::GenConsensusFromMAF role)
-    out = []
-    for i in range(La):
-        tot = int(votes[i].sum())
-        if tot >= p.min_cov_for_call:
-            call = int(np.argmax(votes[i]))
-            if call != 4:
-                out.append(call)
-            # else: majority says this probe base is an insertion — drop
-        else:
-            out.append(int(probe[i]))
-        itot = int(ins_votes[i + 1].sum())
-        if tot >= p.min_cov_for_call and itot * 2 > tot:
-            out.append(int(np.argmax(ins_votes[i + 1])))
-    return np.array(out, np.int8), used
+    v = valid.ravel()
+    pidv = pid.ravel()[v]
+    entv = ent.ravel()[v]
+    diagv = diag.ravel()[v]
+    band = (diagv + (1 << 22)) // p.diag_band
+    E = len(starts)
+    key = (pidv * E + entv) * (1 << 24) + band
+    uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    dsum = np.zeros(len(uk), np.int64)
+    np.add.at(dsum, inv, diagv)
+    keep = cnt >= p.min_seed_votes
+    uk, cnt, dsum = uk[keep], cnt[keep], dsum[keep]
+    c_probe = (uk >> 24) // E
+    c_ent = (uk >> 24) % E
+    c_diag = dsum // cnt
+
+    # drop self-overlaps (entry i and its rc copy i+n map to probe i)
+    n = N
+    base_ent = c_ent % n
+    ok = base_ent != c_probe
+    c_probe, c_ent, c_diag, cnt = (c_probe[ok], c_ent[ok], c_diag[ok],
+                                   cnt[ok])
+    # top max_targets per probe by votes
+    order = np.lexsort((-cnt, c_probe))
+    c_probe, c_ent, c_diag, cnt = (c_probe[order], c_ent[order],
+                                   c_diag[order], cnt[order])
+    run_start = np.concatenate([[True], c_probe[1:] != c_probe[:-1]])
+    run_id = np.cumsum(run_start) - 1
+    first = np.zeros(run_id[-1] + 1 if len(run_id) else 0, np.int64)
+    if len(run_id):
+        first[run_id[run_start]] = np.nonzero(run_start)[0]
+        occ = np.arange(len(c_probe)) - first[run_id]
+        sel = occ < p.max_targets
+        return c_probe[sel], c_ent[sel], c_diag[sel]
+    return c_probe, c_ent, c_diag
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_votes(votes, ins_cnt, ins_base, out, insc, insb, pids, ok):
+    """Accumulate one SW chunk's per-pair column alignments into the
+    device-resident per-probe vote planes."""
+    La = out.shape[1]
+    cols = jnp.arange(La)[None, :]
+    w = (ok[:, None] & (out < 6)).astype(jnp.int32)
+    votes = votes.at[pids[:, None], cols, jnp.clip(out, 0, 6)].add(w)
+    wi = ok[:, None].astype(jnp.int32)
+    ins_cnt = ins_cnt.at[pids[:, None], jnp.arange(La + 1)[None, :]].add(
+        insc * wi
+    )
+    ins_base = ins_base.at[pids[:, None], jnp.arange(La + 1)[None, :], :
+                           ].add(insb * wi[..., None])
+    return votes, ins_cnt, ins_base
+
+
+@jax.jit
+def _consensus(votes, ins_cnt, ins_base, probes, plens, min_cov):
+    """Column-majority consensus call (GenConsensusFromMAF role).
+
+    Returns (call (N, La) int8 with 4 = delete-this-base, ins_go
+    (N, La+1) bool, ins_b (N, La+1) int8, used_cov (N,))."""
+    N, La = probes.shape
+    base_votes = votes[..., :4]
+    del_votes = votes[..., 5]
+    tot = base_votes.sum(-1) + del_votes
+    stacked = jnp.concatenate([base_votes, del_votes[..., None]], axis=-1)
+    call = jnp.argmax(stacked, axis=-1).astype(jnp.int8)  # 4 = delete
+    use = tot >= min_cov
+    live = jnp.arange(La)[None, :] < plens[:, None]
+    out_call = jnp.where(use & live, call, probes.astype(jnp.int8))
+    itot = ins_cnt
+    use1 = jnp.concatenate([use[:, :1] & False, use], axis=1)
+    ins_go = use1 & (itot * 2 > jnp.concatenate(
+        [jnp.zeros_like(tot[:, :1]), tot], axis=1))
+    ins_b = jnp.argmax(ins_base, axis=-1).astype(jnp.int8)
+    return out_call, ins_go, ins_b
 
 
 def ec_reads(
     reads: list[np.ndarray],
     params: ECParams | None = None,
 ) -> tuple[list[np.ndarray], dict]:
-    """Correct every read against the others. Returns (corrected, stats)."""
+    """Correct every read against the others (fully batched; see module
+    docstring). Returns (corrected, stats)."""
     p = params or ECParams()
-    # index the read set (+ reverse complements as extra entries so rc
-    # overlaps seed directly)
+    n = len(reads)
     entries = [(f"r{i}", s) for i, s in enumerate(reads)]
     entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
     idx = build_index(entries, lut_bases=8)
     didx = to_device(idx)
-    n = len(reads)
+    probes, plens = _pad_reads(reads)
+    N, La = probes.shape
+
+    c_probe, c_ent, c_diag = find_overlap_candidates_batch(
+        didx, idx, probes, plens, p
+    )
+    P = len(c_probe)
+
+    # target sequences per pair (entry codes; rc entries pre-materialised)
+    tseqs = [e[1] for e in entries]
+    Lb = La
+    votes = jnp.zeros((N, La, 7), jnp.int32)
+    ins_cnt = jnp.zeros((N, La + 1), jnp.int32)
+    ins_base = jnp.zeros((N, La + 1, 4), jnp.int32)
+
+    K = 2 * p.sw_band + 1
+    chunk = max(16, int(p.sw_chunk_bytes // max(La * K, 1)))
+    n_pairs_used = 0
+    for s in range(0, P, chunk):
+        rows = np.arange(s, min(s + chunk, P))
+        Bc = len(rows)
+        pad = chunk - Bc
+        a = probes[np.clip(c_probe[rows], 0, N - 1)]
+        alen = plens[np.clip(c_probe[rows], 0, N - 1)]
+        b = np.full((chunk, Lb), 4, np.int8)
+        blen = np.zeros(chunk, np.int32)
+        for i, r in enumerate(rows):
+            t = tseqs[int(c_ent[r])]
+            b[i, : len(t)] = t
+            blen[i] = len(t)
+        if pad:
+            a = np.concatenate([a, np.full((pad, La), 4, np.int8)])
+            alen = np.concatenate([alen, np.zeros(pad, np.int32)])
+        dg = np.zeros(chunk, np.int32)
+        dg[:Bc] = c_diag[rows].astype(np.int32)
+        pids = np.zeros(chunk, np.int32)
+        pids[:Bc] = c_probe[rows].astype(np.int32)
+
+        best, bi, bk, moves = banded_sw_batch(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen),
+            jnp.asarray(blen), jnp.asarray(dg), p.sw_band, La, Lb,
+        )
+        out, insc, insb = traceback_align_batch(
+            moves, bi, bk, jnp.asarray(dg), jnp.asarray(b),
+            jnp.asarray(blen), p.sw_band, La,
+        )
+        ok = best >= p.min_overlap_score
+        if pad:
+            ok = ok & (jnp.arange(chunk) < Bc)
+        votes, ins_cnt, ins_base = _scatter_votes(
+            votes, ins_cnt, ins_base, out, insc, insb,
+            jnp.asarray(pids), ok,
+        )
+        n_pairs_used += int(np.asarray(ok).sum())
+
+    call, ins_go, ins_b = jax.device_get(_consensus(
+        votes, ins_cnt, ins_base, jnp.asarray(probes), jnp.asarray(plens),
+        p.min_cov_for_call,
+    ))
+    call = np.asarray(call)
+    ins_go = np.asarray(ins_go)
+    ins_b = np.asarray(ins_b)
+
     corrected = []
-    n_ov = 0
-    for i, probe in enumerate(reads):
-        cands = []
-        for e, diag, v in find_overlap_candidates(didx, idx, i, probe, p):
-            base = e % n  # rc entries map back to the same read
-            if base == i:
-                continue
-            t = reads[e] if e < n else revcomp(reads[e - n])
-            cands.append((t, diag))
-        fixed, used = correct_read(probe, cands, p)
-        n_ov += used
-        corrected.append(fixed)
-    return corrected, {"reads": n, "overlaps_used": n_ov}
+    for i in range(n):
+        L = int(plens[i])
+        out = []
+        for j in range(L):
+            if ins_go[i, j]:
+                out.append(int(ins_b[i, j]))
+            c = int(call[i, j])
+            if c != 4:
+                out.append(c)
+        if ins_go[i, L]:
+            out.append(int(ins_b[i, L]))
+        corrected.append(np.array(out, np.int8))
+    return corrected, {"reads": n, "overlaps_used": n_pairs_used}

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.device import DeviceIndex
-from ..ops.lookup import pack_read_kmers, seed_range_lookup
 from ..seq.encode import codes_to_ascii, revcomp
 
 # Blitz.h scoring constants
@@ -92,96 +91,134 @@ class BlitzPath:
 
 def _seed_nodes(didx: DeviceIndex, q: np.ndarray, p: BlitzParams):
     """Exact-core seed (qofs, tloci) pairs for one query strand, via the
-    batched SA range lookup, capped per core and with over-occurring cores
-    suppressed (explore-depth semantics)."""
-    k = min(p.core_len, 32)
+    rolling-key batched SA lookup (ops/lookup.rolling_seed_lookup — one
+    compiled graph regardless of query length, so the reference's 16 Mbp
+    query envelope, Blitz.h:59-60, traces instantly), capped per core and
+    with over-occurring cores suppressed (explore-depth semantics)."""
+    from ..ops.lookup import rolling_seed_lookup
+
+    k = min(p.core_len, 16)
     delta = p.effective_delta()
-    offsets = tuple(range(0, len(q) - k + 1, delta))
-    if not offsets:
+    L = len(q)
+    S = max((L - k) // delta + 1, 0)
+    if S == 0:
         return np.zeros((0, 2), dtype=np.int64)
-    seq = jnp.asarray(q[None, :])
-    qlh, qll, qhh, qhl, has_n = pack_read_kmers(seq, offsets, k)
-    start, end = seed_range_lookup(
-        didx.key_hi, didx.key_lo, didx.lut, didx.lut_bases,
-        qlh, qll, qhh, qhl, core_len=k, max_steps=didx.max_bsearch_steps,
-    )
-    start = np.asarray(start)[0]
-    end = np.asarray(end)[0]
-    has_n = np.asarray(has_n)[0]
-    size = end - start
     H = p.max_occs
-    keep = (~has_n) & (size > 0) & (size <= C_DFLT_CORE_ITERS)
-    pos_sorted = didx.pos_sorted  # device array; gather per kept core
-    nodes = []
-    ks = np.nonzero(keep)[0]
-    if len(ks) == 0:
-        return np.zeros((0, 2), dtype=np.int64)
-    idx = start[ks, None] + np.arange(H)[None, :]
-    valid = np.arange(H)[None, :] < np.minimum(size[ks], H)[:, None]
-    pos = np.asarray(jnp.take(pos_sorted, jnp.asarray(idx), axis=0))
-    qofs = np.asarray(offsets)[ks, None]
+    Lpad = -(-L // 256) * 256
+    seq = np.full((1, Lpad), 4, np.int8)
+    seq[0, :L] = q
+    pos, valid, size = rolling_seed_lookup(
+        didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows,
+        jnp.asarray(seq), k, delta,
+        max((Lpad - k) // delta + 1, 1), H, didx.lut_bases,
+        didx.max_bsearch_steps,
+    )
+    pos = np.asarray(pos)[0]
+    valid = np.asarray(valid)[0].copy()
+    size = np.asarray(size)[0]
+    valid &= (size <= C_DFLT_CORE_ITERS)[:, None]
+    Sreal = min(S, pos.shape[0])
+    valid = valid[:Sreal]
+    pos = pos[:Sreal]
+    qofs = (np.arange(Sreal, dtype=np.int64) * delta)[:, None]
     out = np.stack(
-        [np.broadcast_to(qofs, pos.shape)[valid], pos[valid]], axis=1
-    ).astype(np.int64)
+        [np.broadcast_to(qofs, pos.shape)[valid],
+         pos[valid].astype(np.int64)], axis=1
+    )
     return out
 
 
 def _merge_diag_blocks(nodes: np.ndarray, core_len: int):
-    """Merge exact-core seeds on the same diagonal into maximal blocks.
+    """Merge exact-core seeds on the same diagonal into maximal blocks —
+    vectorised (lexsort + run detection; no per-seed loop).
     nodes: (N, 2) [qofs, tofs]. Returns (M, 3) [qstart, tstart, length]."""
     if len(nodes) == 0:
         return np.zeros((0, 3), dtype=np.int64)
     diag = nodes[:, 1] - nodes[:, 0]
     order = np.lexsort((nodes[:, 0], diag))
-    nodes = nodes[order]
-    diag = diag[order]
-    blocks = []
-    cs_q = cs_t = cur_end = None
-    cur_diag = None
-    for q, t in nodes:
-        d = t - q
-        if cur_diag == d and q <= cur_end:
-            cur_end = max(cur_end, q + core_len)
-        else:
-            if cur_diag is not None:
-                blocks.append((cs_q, cs_t, cur_end - cs_q))
-            cur_diag, cs_q, cs_t, cur_end = d, q, t, q + core_len
-    blocks.append((cs_q, cs_t, cur_end - cs_q))
-    return np.array(blocks, dtype=np.int64)
+    q = nodes[order, 0]
+    t = nodes[order, 1]
+    d = diag[order]
+    # cores sorted by q within a diagonal each cover [q, q+core_len), so a
+    # run extends while the next core starts within the previous cover
+    brk = np.concatenate(
+        [[True], (d[1:] != d[:-1]) | (q[1:] > q[:-1] + core_len)]
+    )
+    starts = np.nonzero(brk)[0]
+    ends = np.concatenate([starts[1:], [len(q)]]) - 1
+    return np.stack(
+        [q[starts], t[starts], q[ends] + core_len - q[starts]], axis=1
+    ).astype(np.int64)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("M", "gap_open"))
+def _chain_scan(q0, t0, ln, score, valid, M: int, gap_open: int):
+    """Collinear-chain DP as a device scan over blocks sorted by
+    (t, q): per step the (M,) predecessor candidates evaluate as one
+    vector op — the lax.scan realisation of HighScoreSW path chaining
+    (biokanga/Blitz.cpp:1407,1495)."""
+    idxs = jnp.arange(M, dtype=jnp.int32)
+    NEGB = jnp.int32(-(10**9))
+
+    def step(f, i):
+        dq = q0[i] - (q0 + ln)
+        dt = t0[i] - (t0 + ln)
+        ok = (idxs < i) & valid & valid[i]
+        ok &= (dq > -C_MAX_OVERLAP_FLOAT) & (dt > -C_MAX_OVERLAP_FLOAT)
+        ok &= (dq <= C_GAP_MAX_LEN) & (dt <= C_GAP_MAX_LEN)
+        gap = jnp.maximum(jnp.maximum(dq, dt), 0)
+        gcost = jnp.where(
+            gap > 0,
+            gap_open + jnp.minimum(gap // 10 * C_GAP_EXTEND_COST,
+                                   C_GAP_EXTEND_LIMIT),
+            0,
+        )
+        cand = jnp.where(ok, f - gcost, NEGB)
+        j = jnp.argmax(cand).astype(jnp.int32)
+        best = cand[j]
+        take = best > 0
+        fi = jnp.where(take, score[i] + best, score[i])
+        f = f.at[i].set(jnp.where(valid[i], fi, NEGB))
+        return f, jnp.where(take, j, -1)
+
+    f0 = jnp.full((M,), NEGB, jnp.int32)
+    f, pred = jax.lax.scan(step, f0, idxs)
+    return f, pred
 
 
 def _chain_blocks(blocks: np.ndarray, p: BlitzParams):
     """Collinear chaining with the reference's path scoring. Returns list
-    of (score, [block indices]) best-first, greedily non-overlapping."""
+    of (score, [block indices]) best-first, greedily non-overlapping.
+    The quadratic DP runs on device (_chain_scan) with blocks padded to
+    a power-of-two bucket; path extraction is host-side."""
     M = len(blocks)
     if M == 0:
         return []
     order = np.lexsort((blocks[:, 0], blocks[:, 1]))
     b = blocks[order]
-    q0, t0, ln = b[:, 0], b[:, 1], b[:, 2]
-    score = (ln * p.match_score).astype(np.int64)
-    f = score.copy()
-    pred = np.full(M, -1, dtype=np.int64)
-    for i in range(M):
-        dq = q0[i] - (q0[:i] + ln[:i])
-        dt = t0[i] - (t0[:i] + ln[:i])
-        ok = (dq > -C_MAX_OVERLAP_FLOAT) & (dt > -C_MAX_OVERLAP_FLOAT)
-        ok &= (dt <= C_GAP_MAX_LEN) & (dq <= C_GAP_MAX_LEN)
-        gap = np.maximum(np.maximum(dq, dt), 0)
-        gcost = np.where(
-            gap > 0,
-            p.gap_open
-            + np.minimum(gap // 10 * C_GAP_EXTEND_COST, C_GAP_EXTEND_LIMIT),
-            0,
-        )
-        cand = np.where(ok, f[:i] - gcost, -(10**12))
-        if i and len(cand):
-            j = int(np.argmax(cand))
-            if cand[j] > 0:
-                f[i] = score[i] + cand[j]
-                pred[i] = j
+    Mp = 64
+    while Mp < M:
+        Mp *= 2
+    q0 = np.zeros(Mp, np.int32)
+    t0 = np.zeros(Mp, np.int32)
+    ln = np.zeros(Mp, np.int32)
+    q0[:M], t0[:M], ln[:M] = b[:, 0], b[:, 1], b[:, 2]
+    score = ln * p.match_score
+    valid = np.arange(Mp) < M
+    f, pred = _chain_scan(
+        jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(ln),
+        jnp.asarray(score), jnp.asarray(valid), Mp, p.gap_open,
+    )
+    # int64 on host: np.where would WRAP the -1e12 mask value into an
+    # int32 result (NumPy 2 casts the scalar to the array dtype)
+    f = np.asarray(f).astype(np.int64)
+    pred = np.asarray(pred)
     # extract up to max_paths non-overlapping chains best-first
-    used = np.zeros(M, dtype=bool)
+    used = np.zeros(Mp, dtype=bool)
+    used[M:] = True
     paths = []
     for _ in range(p.max_paths):
         masked = np.where(used, -(10**12), f)
@@ -210,7 +247,7 @@ def blitz_query(
     out: list[BlitzPath] = []
     for strand, qs in (("+", q), ("-", revcomp(q))):
         nodes = _seed_nodes(didx, qs, p)
-        blocks = _merge_diag_blocks(nodes, min(p.core_len, 32))
+        blocks = _merge_diag_blocks(nodes, min(p.core_len, 16))
         if len(blocks) > p.max_nodes:
             # keep the longest blocks (explore-depth style suppression)
             blocks = blocks[np.argsort(blocks[:, 2])[::-1][: p.max_nodes]]
@@ -285,6 +322,27 @@ def psl_row(p: BlitzPath) -> str:
             ",".join(map(str, p.t_starts)) + ",",
         )
     )
+
+
+def pslx_row(p: BlitzPath, didx: DeviceIndex, q: np.ndarray) -> str:
+    """PSLX = PSL + per-block query and target sequences (Blitz.h:84-91
+    eBLZRsltsPSLX role)."""
+    starts = np.asarray(jax.device_get(didx.entry_starts))
+    genome = np.asarray(jax.device_get(didx.genome))
+    e0 = int(starts[didx.entry_names.index(p.tname)])
+    qs = q if p.strand == "+" else revcomp(q)
+    qseqs, tseqs = [], []
+    for qstart, tstart, bl in zip(p.q_starts, p.t_starts, p.block_sizes):
+        qseqs.append(
+            codes_to_ascii(qs[qstart : qstart + bl]).decode().lower()
+        )
+        tseqs.append(
+            codes_to_ascii(
+                genome[e0 + tstart : e0 + tstart + bl]
+            ).decode().lower()
+        )
+    return (psl_row(p) + "\t" + ",".join(qseqs) + ",\t"
+            + ",".join(tseqs) + ",")
 
 
 def bed_row(p: BlitzPath) -> str:
