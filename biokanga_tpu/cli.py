@@ -363,6 +363,62 @@ def cmd_align(argv: list[str]) -> int:
                 first = False
                 n_total += len(names)
                 n_unique += int(res["unique"][: len(names)].sum())
+        if args.snpfile:
+            # second chunk sweep: per-chunk tiled pileup + device-side
+            # candidate compaction (align/snp.ChunkedPileup)
+            from .align.snp import ChunkedPileup, SNPParams, write_snps_csv
+            from .seq.encode import revcomp
+
+            sp = SNPParams(
+                min_snp_reads=args.minsnpreads,
+                snp_nonref_pcnt=args.snpnonrefpcnt / 100.0,
+                qvalue=args.qvalue,
+            )
+            cp = ChunkedPileup(
+                ci.bases, [c.total_len for c in ci.chunks], ci.owned,
+                ci.overlap,
+            )
+            for k in range(ci.num_chunks):
+                eng = ca.engine_for(k)
+                pad_n = int(eng.didx.genome.shape[0])
+                cp.start_chunk(k, pad_n)
+                esl = np.clip(ci.entry_starts - ci.bases[k], 0,
+                              ci.chunks[k].total_len)
+                for (codes, lens), res in zip(blocks, results):
+                    chunk = np.clip(
+                        np.searchsorted(ci.bases, res["locus"],
+                                        side="right") - 1,
+                        0, ci.num_chunks - 1,
+                    )
+                    acc = res["unique"] & (chunk == k)
+                    if not acc.any():
+                        continue
+                    aligned = codes.copy()
+                    for i in np.nonzero(res["is_rc"] & acc)[0]:
+                        L0 = int(lens[i])
+                        aligned[i, :L0] = revcomp(codes[i, :L0])
+                    cp.add_batch(
+                        eng.didx.genome,
+                        (res["locus"] - ci.bases[k]).astype(np.int64),
+                        aligned, lens, acc,
+                    )
+                cp.finish_chunk(eng.didx.genome, esl, sp)
+
+            gstarts = ci.entry_starts
+
+            def ref_base(e, loci):
+                g = int(gstarts[e]) + int(loci)
+                kk = int(np.clip(
+                    np.searchsorted(ci.bases, g, side="right") - 1,
+                    0, ci.num_chunks - 1,
+                ))
+                return int(ci.chunks[kk].codes[g - int(ci.bases[kk])])
+
+            calls = cp.finalize_calls(ref_base, ci.entry_names,
+                                      ci.entry_starts, sp)
+            write_snps_csv(args.snpfile, calls)
+            log.info("chunked SNP calling: %d accepted calls -> %s",
+                     len(calls), args.snpfile)
         log.info("chunk-aligned %d reads: %d unique (%.2f%%) in %.1fs",
                  n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
                  sw.elapsed())
