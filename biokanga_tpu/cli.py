@@ -1013,9 +1013,24 @@ def cmd_mergeoverlaps(argv):
     p.add_argument("--unmerged2", default=None)
     p.add_argument("-l", "--min-overlap", type=int, default=16)
     p.add_argument("-s", "--max-subs-pcnt", type=float, default=5.0)
+    p.add_argument("-m", "--mode", type=int, default=0, choices=(0, 1, 2, 3),
+                   help="0 combined, 1 separate, 2 amplicon with 5'/3' MID "
+                        "barcode well demux + merging, 3 amplicon no-merge"
+                        " (ePMAmplicon/ePMAmpliconNoMerge roles)")
     args = p.parse_args(argv)
     from .tools.mergeoverlaps import MergeParams, merge_overlaps
 
+    if args.mode >= 2:
+        from .tools.mergeoverlaps import merge_amplicons
+
+        n, w, counts = merge_amplicons(
+            args.in1, args.in2, args.out,
+            MergeParams(args.min_overlap, args.max_subs_pcnt),
+            no_merge=args.mode == 3,
+        )
+        print(f"amplicon demux: {w}/{n} pairs assigned to "
+              f"{len(counts)} wells")
+        return 0
     n, m = merge_overlaps(
         args.in1, args.in2, args.out,
         MergeParams(args.min_overlap, args.max_subs_pcnt),

@@ -64,6 +64,158 @@ def merge_pairs_arrays(r1: np.ndarray, r2: np.ndarray, p: MergeParams):
     return merged, best_ov, mm
 
 
+# ------------------------- amplicon MID-barcode demux ---------------------
+# default plate barcodes (MergeReadPairs.cpp:33-57): 12 column (5') + 8 row
+# (3') 6-mers identifying 96 wells; well = col + (row-1)*12 when the column
+# barcode is at the 5' end, else row + (col-1)*12 (MapSEBarcodesToWell,
+# MergeReadPairs.cpp:420-490)
+_COL_BARCODES = ["AACCAA", "ACCCCC", "AGCCGG", "ATCCTT", "AAGGAA",
+                 "ACGGCC", "AGGGGG", "ATGGTT", "AATTAA", "ACTTCC",
+                 "AGTTGG", "ATTTTT"]
+_ROW_BARCODES = ["TAATAA", "TCATCC", "TGATGG", "TTATTT", "TATAAA",
+                 "TCTACC", "TGTAGG", "TTTATT"]
+_B2C = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+def _codes(s: str) -> np.ndarray:
+    return np.array([_B2C[c] for c in s], np.int8)
+
+
+@dataclass
+class PlateBarcodes:
+    """The reference's hardcoded 96-well column/row barcode table."""
+
+    cols: list = None
+    rows: list = None
+
+    def __post_init__(self):
+        if self.cols is None:
+            self.cols = [_codes(s) for s in _COL_BARCODES]
+        if self.rows is None:
+            self.rows = [_codes(s) for s in _ROW_BARCODES]
+        self.blen = len(self.cols[0])
+
+    def map_se(self, seq: np.ndarray) -> int:
+        """Well 1..96 from the 5' and 3' barcodes of a merged amplicon;
+        0 when unidentifiable (MapSEBarcodesToWell semantics: 3' barcode
+        appears reverse-complemented)."""
+        k = self.blen
+        if len(seq) < 2 * k or (seq[:k] >= 4).any() or (seq[-k:] >= 4).any():
+            return 0
+        p5 = seq[:k]
+        p3 = seq[-k:]
+        col5 = next((i + 1 for i, b in enumerate(self.cols)
+                     if np.array_equal(p5, b)), 0)
+        row3 = next((i + 1 for i, b in enumerate(self.rows)
+                     if np.array_equal(p3, revcomp(b))), 0)
+        if col5 and row3:
+            return col5 + (row3 - 1) * 12
+        row5 = next((i + 1 for i, b in enumerate(self.rows)
+                     if np.array_equal(p5, b)), 0)
+        col3 = next((i + 1 for i, b in enumerate(self.cols)
+                     if np.array_equal(p3, revcomp(b))), 0)
+        if row5 and col3:
+            return col3 + (row5 - 1) * 12
+        return 0
+
+    def map_pe(self, s1: np.ndarray, s2: np.ndarray) -> int:
+        """Well from the 5' barcodes of PE1 and PE2 (MapPEBarcodesToWell,
+        MergeReadPairs.cpp:492-556: both barcodes read sense at the reads'
+        5' ends)."""
+        k = self.blen
+        if len(s1) < k or len(s2) < k:
+            return 0
+        if (s1[:k] >= 4).any() or (s2[:k] >= 4).any():
+            return 0
+        p5, p3 = s1[:k], s2[:k]
+        col5 = next((i + 1 for i, b in enumerate(self.cols)
+                     if np.array_equal(p5, b)), 0)
+        row3 = next((i + 1 for i, b in enumerate(self.rows)
+                     if np.array_equal(p3, b)), 0)
+        if col5 and row3:
+            return col5 + (row3 - 1) * 12
+        row5 = next((i + 1 for i, b in enumerate(self.rows)
+                     if np.array_equal(p5, b)), 0)
+        col3 = next((i + 1 for i, b in enumerate(self.cols)
+                     if np.array_equal(p3, b)), 0)
+        if row5 and col3:
+            return col3 + (row5 - 1) * 12
+        return 0
+
+
+def merge_amplicons(
+    in1: str, in2: str, out_prefix: str,
+    params: MergeParams | None = None,
+    no_merge: bool = False,
+    barcodes: PlateBarcodes | None = None,
+    fmt: str = "fastq",
+):
+    """Amplicon modes (ePMAmplicon / ePMAmpliconNoMerge,
+    MergeReadPairs.h:14-17): identify the originating plate well from the
+    5'/3' MID barcodes, trim the barcodes, and write per-well files
+    `prefix.WellN.SE.fastq` (merged) or `prefix.WellN.PE1/PE2.fastq`
+    (no-merge).  Returns (n_pairs, n_welled, per-well counts)."""
+    p = params or MergeParams()
+    bc = barcodes or PlateBarcodes()
+    k = bc.blen
+    wells: dict[int, list] = {}
+    n_pairs = n_welled = 0
+    for blk1, blk2 in zip(
+        read_blocks(in1, block_size=8192), read_blocks(in2, block_size=8192)
+    ):
+        L = max(blk1.codes.shape[1], blk2.codes.shape[1])
+
+        def padto(c):
+            if c.shape[1] == L:
+                return c
+            out = np.full((c.shape[0], L), 4, dtype=np.int8)
+            out[:, : c.shape[1]] = c
+            return out
+
+        if not no_merge:
+            merged, best_ov, _ = merge_pairs_arrays(
+                padto(blk1.codes), padto(blk2.codes), p
+            )
+        for i in range(len(blk1.names)):
+            n_pairs += 1
+            s1 = blk1.codes[i, : blk1.lengths[i]]
+            s2 = blk2.codes[i, : blk2.lengths[i]]
+            if no_merge:
+                well = bc.map_pe(s1, s2)
+                if well == 0:
+                    continue
+                n_welled += 1
+                wells.setdefault(well, []).append(
+                    (blk1.names[i], s1[k:], s2[k:])
+                )
+            else:
+                m = merged[i]
+                if m is None:
+                    continue
+                well = bc.map_se(m)
+                if well == 0:
+                    continue
+                n_welled += 1
+                wells.setdefault(well, []).append(
+                    (blk1.names[i], m[k:-k], None)
+                )
+    counts = {}
+    for well, recs in sorted(wells.items()):
+        counts[well] = len(recs)
+        if no_merge:
+            write_fastq(f"{out_prefix}.Well{well}.PE1.{fmt}",
+                        ((n, a, None) for n, a, _ in recs))
+            write_fastq(f"{out_prefix}.Well{well}.PE2.{fmt}",
+                        ((n, b, None) for n, _, b in recs))
+        else:
+            path = f"{out_prefix}.Well{well}.SE.{fmt}"
+            if fmt == "fasta":
+                write_fasta(path, ((n, a) for n, a, _ in recs))
+            else:
+                write_fastq(path, ((n, a, None) for n, a, _ in recs))
+    return n_pairs, n_welled, counts
+
+
 def merge_overlaps(
     in1: str, in2: str, out_merged: str,
     params: MergeParams | None = None,
