@@ -220,6 +220,10 @@ def cmd_align(argv: list[str]) -> int:
                    help="loci base constraints CSV chrom,start,end,bases "
                         "(IdentifyConstraintViolations, Aligner.cpp:2599; "
                         "reference -5)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="chunked-genome runs: persist per-(chunk,block) "
+                        "partials here and resume a killed run at the "
+                        "first missing cell")
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
@@ -350,7 +354,8 @@ def cmd_align(argv: list[str]) -> int:
                 codes, lens = pad_rows(blk.codes, blk.lengths)
                 blocks.append((codes, lens))
                 names_list.append((blk.names, blk.codes, blk.lengths))
-        results = ca.align_blocks(blocks)
+        results = ca.align_blocks(blocks,
+                                  checkpoint_dir=args.checkpoint_dir)
         from .align.sam import write_alignments_sam
 
         with open(args.out, "w") as out:

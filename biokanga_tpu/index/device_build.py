@@ -186,22 +186,45 @@ class DeviceBuildChunkedAligner:
         return device_build_index(codes, es, self.lut_bases, owned=own,
                                   device=self.device)
 
-    def align_blocks(self, blocks, progress=None):
+    def align_blocks(self, blocks, progress=None,
+                     checkpoint_dir: str | None = None):
         """Chunk-major streaming; returns merged dicts per block (int64
-        global loci)."""
+        global loci).  checkpoint_dir: resumable sweep — completed
+        (chunk, block) cells load from disk, the chunk index is only
+        rebuilt when a chunk still has missing cells."""
         from ..align.pipeline import AlignEngine
         from ..parallel.chunked import merge_chunk_results
+
+        ckpt = None
+        if checkpoint_dir:
+            from ..utils.checkpoint import SweepCheckpoint, config_signature
+
+            sig = config_signature(
+                [self.bases, np.asarray([p[1] for p in self.plans]),
+                 self.params, self.lut_bases,
+                 [(r.shape, int(l.sum())) for r, l in blocks]]
+            )
+            ckpt = SweepCheckpoint(checkpoint_dir, sig)
 
         engine = None
         per_block = [[] for _ in blocks]
         for k in range(self.num_chunks):
-            didx = self.build_chunk(k)
-            if engine is None:
-                engine = AlignEngine(didx, self.params)
-            else:
-                engine.didx = didx
+            need = [b for b in range(len(blocks))
+                    if ckpt is None or not ckpt.has(k, b)]
+            if need:
+                didx = self.build_chunk(k)
+                if engine is None:
+                    engine = AlignEngine(didx, self.params)
+                else:
+                    engine.didx = didx
             for b, (reads, lengths) in enumerate(blocks):
-                per_block[b].append(engine.align_with_rescue(reads, lengths))
+                if ckpt is not None and b not in need:
+                    per_block[b].append(ckpt.load(k, b))
+                    continue
+                res = engine.align_with_rescue(reads, lengths)
+                if ckpt is not None:
+                    ckpt.save(k, b, res)
+                per_block[b].append(res)
             if progress:
                 progress(k)
         out = []

@@ -237,14 +237,35 @@ class ChunkedAligner:
         res["derived"] = partials[0].get("derived")
         return res
 
-    def align_blocks(self, blocks: list[tuple[np.ndarray, np.ndarray]]):
+    def align_blocks(self, blocks: list[tuple[np.ndarray, np.ndarray]],
+                     checkpoint_dir: str | None = None):
         """Chunk-major streaming over many read blocks (one device upload
-        per chunk for the WHOLE read set).  Returns merged dicts per block."""
+        per chunk for the WHOLE read set).  Returns merged dicts per block.
+
+        checkpoint_dir: persist every (chunk, block) partial and resume a
+        killed run at the first missing cell (utils/checkpoint.py)."""
+        ckpt = None
+        if checkpoint_dir:
+            from ..utils.checkpoint import SweepCheckpoint, config_signature
+
+            sig = config_signature(
+                [self.ci.bases, self.ci.owned, self.params,
+                 [(r.shape, int(l.sum())) for r, l in blocks]]
+            )
+            ckpt = SweepCheckpoint(checkpoint_dir, sig)
         per_block: list[list[dict]] = [[] for _ in blocks]
         for k in range(self.ci.num_chunks):
-            eng = self.engine_for(k)
+            need = [b for b in range(len(blocks))
+                    if ckpt is None or not ckpt.has(k, b)]
+            eng = self.engine_for(k) if need else None
             for b, (reads, lengths) in enumerate(blocks):
-                per_block[b].append(eng.align_with_rescue(reads, lengths))
+                if ckpt is not None and b not in need:
+                    per_block[b].append(ckpt.load(k, b))
+                    continue
+                res = eng.align_with_rescue(reads, lengths)
+                if ckpt is not None:
+                    ckpt.save(k, b, res)
+                per_block[b].append(res)
         out = []
         for b, (reads, lengths) in enumerate(blocks):
             res = merge_chunk_results(per_block[b], self.ci.bases, lengths,
