@@ -160,10 +160,25 @@ class PEAligner:
 
     def align_pairs(self, reads1, len1, reads2, len2):
         """Full PE path. reads*: (N, L) int8. Returns a result dict with
-        per-pair fields; loci for rescued mates filled in."""
+        per-pair fields; loci for rescued mates filled in.
+
+        Both mates run as ONE fused dispatch (the SE engine sees a 2N-row
+        batch) — half the dispatch count of per-mate calls."""
         eng = self.engine
-        res1 = eng.align_with_rescue(reads1, len1)
-        res2 = eng.align_with_rescue(reads2, len2)
+        if reads1.shape == reads2.shape:
+            both = eng.align_with_rescue(
+                np.concatenate([reads1, reads2]),
+                np.concatenate([len1, len2]),
+            )
+            N = len(reads1)
+            res1 = {k: (v[:N] if hasattr(v, "__len__") else v)
+                    for k, v in both.items()}
+            res2 = {k: (v[N:] if hasattr(v, "__len__") else v)
+                    for k, v in both.items()}
+            res1["derived"] = res2["derived"] = both.get("derived")
+        else:
+            res1 = eng.align_with_rescue(reads1, len1)
+            res2 = eng.align_with_rescue(reads2, len2)
         starts = np.asarray(jax.device_get(eng.didx.entry_starts))
         cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
 

@@ -421,8 +421,6 @@ class ExtendedAligner:
         return fn(reads_d, lengths_d)
 
     def align(self, reads: np.ndarray, lengths: np.ndarray):
-        from .splice_indel import indel_scan, splice_scan
-
         eng = self.engine
         res = eng.align_with_rescue(reads, lengths)
         res["cigar_op"] = np.zeros(len(reads), dtype=np.int32)  # 0 = pure M
@@ -435,6 +433,29 @@ class ExtendedAligner:
         if len(left) == 0:
             return res
         sub_r, sub_l = pad_rows(reads[left], lengths[left])
+        best = self.scan_rows(sub_r, sub_l)
+        if best is None:
+            return res
+        acc = np.nonzero(best["ok"] & (best["score"] > -(1 << 20)))[0]
+        acc = acc[acc < len(left)]  # drop pad rows
+        gi = left[acc]
+        res["unique"][gi] = True
+        res["any_hit"][gi] = True
+        res["locus"][gi] = best["locus"][acc]
+        res["is_rc"][gi] = best["is_rc"][acc]
+        res["best_mm"][gi] = np.minimum(best["mm"][acc], 255).astype(np.uint8)
+        res["split"][gi] = best["split"][acc]
+        res["cigar_op"][gi] = best["op"][acc]
+        res["op_len"][gi] = best["gaplen"][acc]
+        return res
+
+    def scan_rows(self, sub_r: np.ndarray, sub_l: np.ndarray):
+        """Indel/splice fall-through scans for one padded row block;
+        returns the per-row best-candidate dict (or None) — shared by the
+        single-index align() and the chunked driver."""
+        from .splice_indel import indel_scan, splice_scan
+
+        eng = self.engine
         B, L = sub_r.shape
         dp = eng.params.derive(int(L), eng.didx.total_len)
         didx = eng.didx
@@ -492,20 +513,7 @@ class ExtendedAligner:
                         k: np.where(better, o[k], best[k]) for k in best
                     }
 
-        if best is None:
-            return res
-        acc = np.nonzero(best["ok"] & (best["score"] > -(1 << 20)))[0]
-        acc = acc[acc < len(left)]  # drop pad rows
-        gi = left[acc]
-        res["unique"][gi] = True
-        res["any_hit"][gi] = True
-        res["locus"][gi] = best["locus"][acc]
-        res["is_rc"][gi] = best["is_rc"][acc]
-        res["best_mm"][gi] = np.minimum(best["mm"][acc], 255).astype(np.uint8)
-        res["split"][gi] = best["split"][acc]
-        res["cigar_op"][gi] = best["op"][acc]
-        res["op_len"][gi] = best["gaplen"][acc]
-        return res
+        return best
 
 
 def cigar_for(length: int, cigar_op: int, op_len: int, split: int) -> str:

@@ -356,6 +356,14 @@ def cmd_align(argv: list[str]) -> int:
                 names_list.append((blk.names, blk.codes, blk.lengths))
         results = ca.align_blocks(blocks,
                                   checkpoint_dir=args.checkpoint_dir)
+        if args.microindellen or args.splicejunctlen:
+            from .parallel.chunked import ChunkedExtendedAligner
+
+            cea = ChunkedExtendedAligner(ca, args.microindellen,
+                                         args.splicejunctlen)
+            n_resc = cea.fallthrough_blocks(blocks, results)
+            log.info("chunked indel/splice fall-through rescued %d reads",
+                     n_resc)
         from .align.sam import write_alignments_sam
 
         with open(args.out, "w") as out:

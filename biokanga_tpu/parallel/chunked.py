@@ -123,6 +123,131 @@ def merge_chunk_results(
     }
 
 
+class ChunkedExtendedAligner:
+    """Micro-indel + splice-junction fall-through over a ChunkedIndex:
+    leftover reads scan against every chunk (ExtendedAligner.scan_rows on
+    each resident chunk), winners merge by score across chunks — the -a/-A
+    aligner modes past 2^31 bases (CSfxArrayV3::AlignReads fall-through,
+    SfxArrayV2.cpp:7663-7760).
+
+    Splice exactness at chunk cuts needs ci.overlap >= splice separation +
+    read length (document per run; default chunks use 2048)."""
+
+    def __init__(self, ca: "ChunkedAligner", micro_indel_len: int = 0,
+                 splice_junct_len: int = 0):
+        self.ca = ca
+        self.micro_indel_len = micro_indel_len
+        self.splice_junct_len = splice_junct_len
+
+    def align(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
+        from ..align.pipeline import ExtendedAligner, pad_rows
+
+        ca = self.ca
+        res = ca.align(reads, lengths)
+        B = len(reads)
+        res["cigar_op"] = np.zeros(B, np.int64)
+        res["op_len"] = np.zeros(B, np.int64)
+        res["split"] = np.zeros(B, np.int32)
+        if not (self.micro_indel_len or self.splice_junct_len):
+            return res
+        left = np.nonzero(~res["unique"] & ~res["any_hit"])[0]
+        if len(left) == 0:
+            return res
+        sub_r, sub_l = pad_rows(reads[left], lengths[left])
+        best = None
+        for k in range(ca.ci.num_chunks):
+            eng = ca.engine_for(k)
+            ext = ExtendedAligner(eng, self.micro_indel_len,
+                                  self.splice_junct_len)
+            b = ext.scan_rows(sub_r, sub_l)
+            if b is None:
+                continue
+            b = dict(b)
+            b["locus"] = b["locus"].astype(np.int64) + int(ca.ci.bases[k])
+            if best is None:
+                best = b
+            else:
+                better = b["score"] > best["score"]
+                best = {kk: np.where(better, b[kk], best[kk])
+                        for kk in best}
+        if best is None:
+            return res
+        acc = np.nonzero(best["ok"] & (best["score"] > -(1 << 20)))[0]
+        acc = acc[acc < len(left)]
+        gi = left[acc]
+        res["unique"][gi] = True
+        res["any_hit"][gi] = True
+        res["locus"][gi] = best["locus"][acc]
+        res["is_rc"][gi] = best["is_rc"][acc]
+        res["best_mm"][gi] = np.minimum(best["mm"][acc], 255).astype(
+            np.uint8)
+        res["split"][gi] = best["split"][acc]
+        res["cigar_op"][gi] = best["op"][acc]
+        res["op_len"][gi] = best["gaplen"][acc]
+        return res
+
+    def fallthrough_blocks(self, blocks, results) -> int:
+        """Apply the indel/splice fall-through to MANY aligned blocks with
+        ONE chunk sweep: leftovers from every block gather into one row
+        matrix, scan per chunk, winners write back into the per-block
+        result dicts.  Returns the number of rescued reads."""
+        from ..align.pipeline import ExtendedAligner, pad_rows
+
+        ca = self.ca
+        rows = []   # (block, row)
+        mats, lens = [], []
+        L = max(r.shape[1] for r, _ in blocks)
+        for b, ((reads, lengths), res) in enumerate(zip(blocks, results)):
+            res.setdefault("cigar_op", np.zeros(len(lengths), np.int64))
+            res.setdefault("op_len", np.zeros(len(lengths), np.int64))
+            res.setdefault("split", np.zeros(len(lengths), np.int32))
+            for i in np.nonzero(~res["unique"] & ~res["any_hit"])[0]:
+                rows.append((b, int(i)))
+                row = np.full(L, 4, reads.dtype)
+                row[: reads.shape[1]] = reads[i]
+                mats.append(row)
+                lens.append(lengths[i])
+        if not rows:
+            return 0
+        sub_r, sub_l = pad_rows(np.stack(mats),
+                                np.asarray(lens, np.int32))
+        best = None
+        for k in range(ca.ci.num_chunks):
+            eng = ca.engine_for(k)
+            ext = ExtendedAligner(eng, self.micro_indel_len,
+                                  self.splice_junct_len)
+            b_ = ext.scan_rows(sub_r, sub_l)
+            if b_ is None:
+                continue
+            b_ = dict(b_)
+            b_["locus"] = b_["locus"].astype(np.int64) + int(ca.ci.bases[k])
+            if best is None:
+                best = b_
+            else:
+                better = b_["score"] > best["score"]
+                best = {kk: np.where(better, b_[kk], best[kk])
+                        for kk in best}
+        if best is None:
+            return 0
+        n_rescued = 0
+        acc = np.nonzero(best["ok"] & (best["score"] > -(1 << 20)))[0]
+        for j in acc:
+            if j >= len(rows):
+                continue
+            b, i = rows[j]
+            res = results[b]
+            res["unique"][i] = True
+            res["any_hit"][i] = True
+            res["locus"][i] = best["locus"][j]
+            res["is_rc"][i] = best["is_rc"][j]
+            res["best_mm"][i] = min(int(best["mm"][j]), 255)
+            res["split"][i] = best["split"][j]
+            res["cigar_op"][i] = best["op"][j]
+            res["op_len"][i] = best["gaplen"][j]
+            n_rescued += 1
+        return n_rescued
+
+
 class ChunkedPEAligner:
     """Paired-end alignment against a ChunkedIndex: both mates through the
     chunk-merged SE path, global classification, then orphan rescue
