@@ -952,6 +952,11 @@ def cmd_filter(argv):
     p.add_argument("--min-phred", type=int, default=0)
     p.add_argument("--min-len", type=int, default=50)
     p.add_argument("--no-dedupe", action="store_true")
+    p.add_argument("--near-dedupe", action="store_true",
+                   help="also drop NEAR-duplicate reads (Hamming <= "
+                        "--near-max-subs; ArtefactReduce sparse-index "
+                        "near-dup role, Kangadna.h:100-107)")
+    p.add_argument("--near-max-subs", type=int, default=2)
     p.add_argument("-c", "--contaminants", default=None,
                    help="adaptor/contaminant FASTA")
     args = p.parse_args(argv)
@@ -980,6 +985,8 @@ def cmd_filter(argv):
             min_phred=args.min_phred, min_len=args.min_len,
             dedupe=not args.no_dedupe, adapters=adapters,
             contaminants=contam_db,
+            near_dedupe=args.near_dedupe,
+            near_max_subs=args.near_max_subs,
         ),
         pair_inpath=args.pair, pair_outpath=args.outpair,
     )

@@ -32,6 +32,9 @@ class FilterParams:
     contaminants: object | None = None
     contam_min_overlap: int = 5
     contam_subs_rate: int = 1    # subs per 25bp of overlap (0 = exact)
+    # near-duplicate reduction (ArtefactReduce sparse-index role)
+    near_dedupe: bool = False
+    near_max_subs: int = 2
 
 
 @dataclass
@@ -45,11 +48,58 @@ class FilterStats:
     rej_phred: int = 0
     rej_len: int = 0
     rej_dup: int = 0
+    rej_near_dup: int = 0
     rej_vector: int = 0
 
 
 def _pack_for_hash(codes: np.ndarray, length: int) -> bytes:
     return codes[:length].tobytes()
+
+
+def near_duplicate_mask(seqs: list[np.ndarray], max_subs: int = 2,
+                        anchors=(0, 16)) -> np.ndarray:
+    """(N,) bool — True for reads that NEARLY duplicate an earlier read
+    (same length, Hamming distance <= max_subs).
+
+    The role of the reference's sparse-suffix-index near-duplicate pass
+    (CKangadna etSfxSparsity / ArtefactReduce near-dup,
+    biokanga/Kangadna.h:100-107): anchored detection — reads group by an
+    exact 16-base window at each anchor offset; within a group every read
+    compares (vectorised) against the group's first member.  A duplicate
+    escapes only if it has a substitution inside EVERY anchor window,
+    matching the reference's sparse-anchor guarantee."""
+    N = len(seqs)
+    dup = np.zeros(N, bool)
+    if N == 0:
+        return dup
+    lens = np.array([len(s) for s in seqs])
+    for L in np.unique(lens):
+        rows = np.nonzero(lens == L)[0]
+        if len(rows) < 2:
+            continue
+        mat = np.stack([seqs[i] for i in rows])
+        k = min(16, int(L))
+        for a in anchors:
+            if a + k > L:
+                continue
+            live = np.nonzero(~dup[rows])[0]
+            if len(live) < 2:
+                break
+            sub = mat[live]
+            key = np.zeros(len(live), np.uint64)
+            for j in range(k):
+                key = (key << np.uint64(2)) | np.uint64(3) & sub[
+                    :, a + j].astype(np.uint64)
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            run_start = np.concatenate([[True], sk[1:] != sk[:-1]])
+            run_id = np.cumsum(run_start) - 1
+            first_of_run = order[run_start][run_id]  # per sorted position
+            reps = sub[first_of_run]
+            mm = (sub[order] != reps).sum(axis=1)
+            is_dup = (mm <= max_subs) & ~run_start
+            dup[rows[live[order[is_dup]]]] = True
+    return dup
 
 
 def _trim_adapter_3p(seq: np.ndarray, adapter: np.ndarray,
@@ -177,6 +227,20 @@ def filter_reads(
             if pe:
                 out2.append(recs[1])
 
+    if p.near_dedupe and out1:
+        # near-duplicate pass over the accepted set (PE: mates concatenate
+        # so a pair is near-dup only when BOTH ends nearly match)
+        if pe:
+            seqs = [np.concatenate([a[1], b[1]])
+                    for a, b in zip(out1, out2)]
+        else:
+            seqs = [r[1] for r in out1]
+        dup = near_duplicate_mask(seqs, p.near_max_subs)
+        st.rej_near_dup = int(dup.sum())
+        st.accepted -= st.rej_near_dup
+        out1 = [r for r, d in zip(out1, dup) if not d]
+        if pe:
+            out2 = [r for r, d in zip(out2, dup) if not d]
     write_fastq(outpath, out1)
     if pe and pair_outpath:
         write_fastq(pair_outpath, out2)

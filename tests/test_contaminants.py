@@ -123,3 +123,28 @@ def test_ngsqc_contaminant_report(tmp_path):
     txt = open(html).read()
     assert "Contaminants" in txt and "adp" in txt
     assert "reads with 3' contaminant overlay" in txt
+
+
+def test_near_duplicate_mask_and_filter(tmp_path):
+    from biokanga_tpu.cli import main
+    from biokanga_tpu.seq.fasta import read_seqs as _rs
+    from biokanga_tpu.tools.filter_reads import near_duplicate_mask
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 4, size=80).astype(np.int8)
+    v1 = base.copy(); v1[40] = (v1[40] + 1) % 4          # 1 sub
+    v2 = base.copy(); v2[3] = (v2[3] + 2) % 4            # sub in anchor 0
+    far = base.copy()
+    far[::7] = (far[::7] + 1) % 4                        # 12 subs: distinct
+    other = rng.integers(0, 4, size=80).astype(np.int8)
+    seqs = [base, v1, v2, far, other, v1.copy()]
+    dup = near_duplicate_mask(seqs, max_subs=2)
+    assert dup.tolist() == [False, True, True, False, False, True]
+
+    write_fastq(str(tmp_path / "n.fastq"),
+                [(f"n{i}", s, None) for i, s in enumerate(seqs)])
+    out = str(tmp_path / "nf.fastq")
+    assert main(["filter", "-i", str(tmp_path / "n.fastq"), "-o", out,
+                 "--near-dedupe", "--min-len", "50", "-n", "0"]) == 0
+    kept = [r.name for r in _rs(out)]
+    assert kept == ["n0", "n3", "n4"]
