@@ -1349,12 +1349,17 @@ def cmd_rnade(argv):
     p.add_argument("-o", "--out", required=True)
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--min-cnts", type=int, default=10)
+    p.add_argument("--confidence-iters", type=int, default=1000,
+                   help="Poisson-noise bootstrap iterations for CIs + "
+                        "p-values (kangade cMaxConfidenceIterations role;"
+                        " 0 disables)")
     args = p.parse_args(argv)
     from .seq.annotations import read_bed
     from .tools.expression import rnade, write_rnade_csv
 
     res = rnade(read_bed(args.bed), args.control, args.experiment,
-                num_bins=args.bins, min_feat_cnts=args.min_cnts)
+                num_bins=args.bins, min_feat_cnts=args.min_cnts,
+                confidence_iters=args.confidence_iters)
     write_rnade_csv(args.out, res)
     print(f"rnade: {len(res)} features characterised")
     return 0

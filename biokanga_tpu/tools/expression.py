@@ -116,6 +116,57 @@ class DEResult:
     fold_change: float    # experiment / control (signed convention: >1 up)
     pearson: float        # binned profile correlation
     classification: str   # none | low | moderate | high
+    # Poisson-noise bootstrap confidence intervals + p-value (the
+    # reference's cMaxConfidenceIterations machinery, kangade.cpp:65,
+    # 342-355: up to 10000 iterations inducing random Poisson noise on
+    # bin counts; medians + 95 percentiles for fold/Pearson; PValue =
+    # two-sided fraction of resampled folds crossing 1)
+    fold_median: float = 0.0
+    fold_low95: float = 0.0
+    fold_hi95: float = 0.0
+    pearson_median: float = 0.0
+    pearson_low95: float = 0.0
+    pearson_hi95: float = 0.0
+    pvalue: float = 1.0
+
+
+def _bootstrap_de(c_bins, e_bins, scale, iters, seed=7):
+    """Vectorised Poisson-noise bootstrap over (F, B) bin-count matrices.
+
+    Returns per-feature (fold med/lo95/hi95, pearson med/lo95/hi95,
+    pvalue) — kangade's confidence-interval pass (kangade.cpp:1844+)
+    with the per-feature per-iteration loop replaced by one
+    (ITER, F, B) Poisson draw and batched statistics."""
+    rng = np.random.default_rng(seed)
+    F, B = c_bins.shape
+    out = np.zeros((F, 7))
+    CH = max(1, 4_000_000 // max(B * iters, 1))
+    for s in range(0, F, CH):
+        cb = c_bins[s : s + CH]
+        eb = e_bins[s : s + CH]
+        k = len(cb)
+        rc = rng.poisson(cb[None], size=(iters, k, B)).astype(np.float64)
+        re_ = rng.poisson(eb[None], size=(iters, k, B)).astype(np.float64)
+        cc = rc.sum(axis=2)
+        ee = re_.sum(axis=2) * scale
+        fold = (ee + 1.0) / (cc + 1.0)
+        # pearson per (iter, feature)
+        ac = rc - rc.mean(axis=2, keepdims=True)
+        ae = re_ - re_.mean(axis=2, keepdims=True)
+        num = (ac * ae).sum(axis=2)
+        den = np.sqrt((ac * ac).sum(axis=2) * (ae * ae).sum(axis=2))
+        pear = np.where(den > 0, num / np.maximum(den, 1e-12), 0.0)
+        q = lambda a, p: np.percentile(a, p, axis=0)
+        out[s : s + CH, 0] = q(fold, 50)
+        out[s : s + CH, 1] = q(fold, 2.5)
+        out[s : s + CH, 2] = q(fold, 97.5)
+        out[s : s + CH, 3] = q(pear, 50)
+        out[s : s + CH, 4] = q(pear, 2.5)
+        out[s : s + CH, 5] = q(pear, 97.5)
+        up = (fold > 1.0).mean(axis=0)
+        out[s : s + CH, 6] = np.clip(2.0 * np.minimum(up, 1.0 - up),
+                                     1.0 / iters, 1.0)
+    return out
 
 
 def rnade(
@@ -124,6 +175,7 @@ def rnade(
     experiment_sam: str,
     num_bins: int = 10,
     min_feat_cnts: int = 10,
+    confidence_iters: int = 1000,
 ) -> list[DEResult]:
     """Differential expression: per-feature normalised counts, binned
     start-loci profiles for Pearson correlation, fold-change
@@ -150,12 +202,18 @@ def rnade(
     # library normalisation (ePPNormLibCnts role)
     lib_c, lib_e = max(c_cnt.sum(), 1), max(e_cnt.sum(), 1)
     scale = lib_c / lib_e
+
+    keep = (c_cnt + e_cnt * scale) >= min_feat_cnts
+    rows = np.nonzero(keep)[0]
+    boot = None
+    if confidence_iters > 0 and len(rows):
+        boot = _bootstrap_de(c_bins[rows], e_bins[rows], scale,
+                             confidence_iters)
     out = []
-    for i, ft in enumerate(bed_features):
+    for j, i in enumerate(rows):
+        ft = bed_features[i]
         cc = float(c_cnt[i])
         ee = float(e_cnt[i]) * scale
-        if cc + ee < min_feat_cnts:
-            continue
         fold = (ee + 1.0) / (cc + 1.0)
         fold_mag = fold if fold >= 1 else 1.0 / fold
         a, b = c_bins[i], e_bins[i]
@@ -172,18 +230,28 @@ def rnade(
             cls = "moderate"
         else:
             cls = "high"
-        out.append(DEResult(ft.name, cc, ee, fold, pearson, cls))
+        r = DEResult(ft.name, cc, ee, fold, pearson, cls)
+        if boot is not None:
+            (r.fold_median, r.fold_low95, r.fold_hi95, r.pearson_median,
+             r.pearson_low95, r.pearson_hi95, r.pvalue) = (
+                float(x) for x in boot[j]
+            )
+        out.append(r)
     return out
 
 
 def write_rnade_csv(path, results):
     with open(path, "w") as f:
         f.write('"Feature","CtrlCnts","ExprCnts","FoldChange","Pearson",'
-                '"Class"\n')
+                '"Class","FoldMedian","FoldLow95","FoldHi95",'
+                '"PearsonMedian","PearsonLow95","PearsonHi95","PValue"\n')
         for r in results:
             f.write(
                 f'"{r.feature}",{r.ctrl_cnts:.1f},{r.expr_cnts:.1f},'
-                f'{r.fold_change:.4f},{r.pearson:.4f},"{r.classification}"\n'
+                f'{r.fold_change:.4f},{r.pearson:.4f},"{r.classification}",'
+                f'{r.fold_median:.4f},{r.fold_low95:.4f},{r.fold_hi95:.4f},'
+                f'{r.pearson_median:.4f},{r.pearson_low95:.4f},'
+                f'{r.pearson_hi95:.4f},{r.pvalue:.5f}\n'
             )
 
 

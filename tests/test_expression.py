@@ -128,3 +128,23 @@ def test_locateroi_cli(tmp_path):
     assert len(rows) == 1
     f = rows[0].split(",")
     assert int(f[2]) >= 1000 and int(f[3]) <= 1500
+
+
+def test_rnade_bootstrap_cis():
+    """Poisson-bootstrap CIs + p-values: a strongly-DE feature gets a
+    small p-value and a fold CI excluding 1; an unchanged feature gets a
+    large p-value and a CI containing 1."""
+    import numpy as np
+
+    from biokanga_tpu.tools.expression import _bootstrap_de
+
+    rng = np.random.default_rng(3)
+    c = np.stack([np.full(10, 50.0), np.full(10, 40.0)])
+    e = np.stack([np.full(10, 10.0), np.full(10, 40.0)])
+    out = _bootstrap_de(c, e, scale=1.0, iters=400)
+    # feature 0: 5x down
+    assert out[0, 2] < 0.5          # fold hi95 well below 1
+    assert out[0, 6] <= 0.01        # p-value small
+    # feature 1: unchanged
+    assert out[1, 1] < 1.0 < out[1, 2]
+    assert out[1, 6] > 0.2
