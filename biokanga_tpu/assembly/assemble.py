@@ -149,6 +149,64 @@ def one_pass(seqs: list[np.ndarray], min_overlap: int, k: int = 16,
     return out, n_merges
 
 
+def remove_contained(seqs: list[np.ndarray],
+                     max_subs_per_100: float = 1.0) -> list[np.ndarray]:
+    """Drop sequences fully CONTAINED in a longer sequence (either
+    orientation) — the overlap-graph containment-removal step the
+    reference applies via its sparse index before extension
+    (CKangadna duplicate/contained handling).  Containment is detected
+    with the aligner machinery: short sequences align full-length
+    against an index of the longer ones."""
+    if len(seqs) < 2:
+        return seqs
+    order = np.argsort([-len(s) for s in seqs], kind="stable")
+    # index the longer half (targets); probe everything shorter
+    lens = np.array([len(seqs[i]) for i in order])
+    # targets: all sequences; a sequence is dropped if contained in a
+    # STRICTLY longer one (or an equal-length earlier one)
+    from ..align.params import AlignParams
+    from ..align.pipeline import AlignEngine, pad_rows
+    from ..index.build import build_index
+    from ..index.device import to_device
+
+    entries = [(f"s{i}", seqs[i]) for i in order]
+    idx = build_index(entries, lut_bases=8)
+    didx = to_device(idx)
+    max_mm = max(1, int(max_subs_per_100))
+    eng = AlignEngine(didx, AlignParams(max_subs_per100=max(1, int(
+        max_subs_per_100)), min_edit_dist=0))
+    starts = idx.entry_starts
+    keep = np.ones(len(seqs), bool)
+    # probe in blocks of equal padded width
+    L = max(len(s) for s in seqs)
+    B = len(order)
+    mat = np.full((B, L), 4, np.int8)
+    pl = np.zeros(B, np.int32)
+    for j, i in enumerate(order):
+        mat[j, : len(seqs[i])] = seqs[i]
+        pl[j] = len(seqs[i])
+    CH = 4096
+    for s0 in range(0, B, CH):
+        nb = min(CH, B - s0)
+        sub, sl = pad_rows(mat[s0 : s0 + CH], pl[s0 : s0 + CH])
+        res = eng.align_batch(sub, sl)
+        mlm = res["ml_mm"][:nb].astype(np.int64)       # (nb, K) top hits
+        mll = res["ml_loci"][:nb]
+        mtm = np.maximum(pl[s0 : s0 + nb] * max_mm // 100, 1)
+        ent = np.searchsorted(starts, mll, side="right") - 1
+        ent = np.clip(ent, 0, B - 1)
+        gsel = np.arange(s0, s0 + nb)[:, None]
+        # contained in a longer target, or an equal-length EARLIER one
+        # (order is length-descending, so ties keep the first)
+        contained = (
+            (mlm <= mtm[:, None]) & (ent != gsel)
+            & ((lens[ent] > lens[gsel])
+               | ((lens[ent] == lens[gsel]) & (ent < gsel)))
+        ).any(axis=1)
+        keep[order[s0 : s0 + nb][contained]] = False
+    return [s for s, k in zip(seqs, keep) if k]
+
+
 def assemble(
     seqs: list[np.ndarray],
     init_overlap: int = C_DFLT_INIT_SE_OVLP,
@@ -156,11 +214,16 @@ def assemble(
     min_seq_len: int = C_MIN_ASSEMB_SEQ_LEN,
     max_subs_per_100: float = 1.0,
     max_passes: int = 50,
+    containment_removal: bool = True,
 ) -> tuple[list[np.ndarray], AssemblyStats]:
     """Full iterative assembly with the reference's decaying-overlap
-    schedule (deNovoAssemb.cpp pass loop)."""
+    schedule (deNovoAssemb.cpp pass loop), preceded and followed by
+    containment removal (redundant reads/contigs fully contained in a
+    longer sequence are dropped)."""
     cur = [s for s in seqs if len(s) >= min_seq_len]
     st = AssemblyStats()
+    if containment_removal and cur:
+        cur = remove_contained(cur, max_subs_per_100)
     ov = init_overlap
     while st.passes < max_passes:
         ov_eff = min(ov, min(len(s) for s in cur) - 1) if cur else ov
@@ -172,6 +235,8 @@ def assemble(
             if ov <= final_overlap:
                 break
             ov = max(final_overlap, int(ov * 2 / 3))
+    if containment_removal and cur:
+        cur = remove_contained(cur, max_subs_per_100)
     st.n_contigs = len(cur)
     st.total_bp = int(sum(len(s) for s in cur))
     st.max_contig = int(max((len(s) for s in cur), default=0))

@@ -80,3 +80,25 @@ def test_scaffold_orders_contigs():
     # joined in the right order: starts with c1, ends with c2
     assert np.array_equal(s[: len(c1)], c1)
     assert np.array_equal(s[-len(c2):], c2)
+
+
+def test_containment_removal_unfragments():
+    """Contained/duplicate reads previously broke mutual-best chains;
+    with containment removal a clean 20x read set assembles into few
+    long contigs covering the source."""
+    import numpy as np
+
+    from biokanga_tpu.assembly.assemble import assemble, remove_contained
+    from biokanga_tpu.sim.simreads import random_genome
+
+    rng = np.random.default_rng(3)
+    g = random_genome([("g", 8000)], seed=5)[0][1]
+    L = 150
+    starts = rng.integers(0, 8000 - L, size=8000 * 12 // L)
+    reads = [g[s : s + L].copy() for s in starts]
+    # plant exact duplicates + contained fragments
+    reads += [reads[0].copy(), reads[1][:100].copy()]
+    contigs, st = assemble(reads)
+    lens = sorted((len(c) for c in contigs), reverse=True)
+    assert lens[0] > 4000
+    assert sum(lens) < 1.3 * 8000  # little redundancy survives
