@@ -104,7 +104,7 @@ def main() -> None:
                     pe_len[:batch])  # warmup
     pe_dt = float("inf")
     n_proper = 0
-    for _ in range(max(1, epochs // 2)):
+    for _ in range(epochs):
         t0 = time.monotonic()
         n_proper = 0
         for i in range(0, n_pairs, batch):

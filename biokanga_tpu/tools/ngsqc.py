@@ -31,6 +31,7 @@ class QCStats:
     contam_reads5: int = 0
     contam_reads3: int = 0
     contam_vector: int = 0
+    err_free_by_pos: np.ndarray | None = None  # sum of P(error-free..p)
 
 
 def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None,
@@ -76,9 +77,19 @@ def collect_qc(paths, kmer_k: int = 5, max_reads: int | None = None,
                 st.per_pos_phred_sum[:L] += np.where(live, q, 0).sum(axis=0)
                 st.per_pos_count[:L] += live.sum(axis=0)
                 perr = np.where(live, 10.0 ** (-np.maximum(q, 0) / 10.0), 0.0)
-                st.err_free_prob_sum += float(
-                    np.exp(np.log1p(-np.clip(perr, 0, 0.999999)).sum(axis=1)).sum()
-                )
+                logp = np.log1p(-np.clip(perr, 0, 0.999999))
+                st.err_free_prob_sum += float(np.exp(logp.sum(axis=1)).sum())
+                # per-phase error-free distribution (ReadStats
+                # error-free-read probability role, ReadStats.cpp:1149):
+                # expected fraction of reads error-free THROUGH position p
+                cum = np.exp(np.cumsum(logp, axis=1))
+                if st.err_free_by_pos is None or len(
+                        st.err_free_by_pos) < L:
+                    old = st.err_free_by_pos
+                    st.err_free_by_pos = np.zeros(L, np.float64)
+                    if old is not None:
+                        st.err_free_by_pos[: len(old)] = old
+                st.err_free_by_pos[:L] += np.where(live, cum, 0).sum(axis=0)
             else:
                 st.per_pos_count[:L] += live.sum(axis=0)
             # GC distribution
@@ -188,6 +199,15 @@ def write_html_report(st: QCStats, path: str, title="ngsqc report") -> None:
                   "Read length distribution", color="#22aa66"),
         _svg_line(np.arange(101), st.gc_hist, "GC%% distribution",
                   color="#cc6622"),
+        (
+            _svg_line(
+                np.arange(len(st.err_free_by_pos)),
+                st.err_free_by_pos / max(st.n_reads, 1),
+                "Expected error-free fraction through position",
+                color="#884488",
+            )
+            if st.err_free_by_pos is not None else ""
+        ),
         "<h3>Top K-mers</h3><table border='1' cellpadding='3'>",
     ]
     for v in top_kmers:
