@@ -107,12 +107,19 @@ def main() -> None:
     for _ in range(epochs):
         t0 = time.monotonic()
         n_proper = 0
+        pending = None
+        # double-buffered: next batch's fused align is in flight on
+        # device while this batch classifies/rescues on host
         for i in range(0, n_pairs, batch):
-            out = pea.align_pairs(
+            nxt = pea.launch_pairs(
                 r1[i : i + batch], pe_len[i : i + batch],
                 r2[i : i + batch], pe_len[i : i + batch],
             )
-            n_proper += int(out["proper"].sum())
+            if pending is not None:
+                n_proper += int(pea.finish_pairs(pending)["proper"].sum())
+            pending = nxt
+        if pending is not None:
+            n_proper += int(pea.finish_pairs(pending)["proper"].sum())
         pe_dt = min(pe_dt, time.monotonic() - t0)
     pe_rps = 2 * n_pairs / pe_dt  # reads/s, matching the reference row
 

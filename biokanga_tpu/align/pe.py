@@ -158,6 +158,36 @@ class PEAligner:
         )
         return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
 
+    def launch_pairs(self, reads1, len1, reads2, len2):
+        """Dispatch the fused 2N-row primary align asynchronously; pair
+        with finish_pairs.  Lets a driver keep one PE batch in flight
+        while classifying/rescuing the previous one (the PE analogue of
+        AlignEngine.align_stream double buffering)."""
+        eng = self.engine
+        out, dp = eng.launch(np.concatenate([reads1, reads2]),
+                             np.concatenate([len1, len2]))
+        return (out, dp, reads1, len1, reads2, len2)
+
+    def finish_pairs(self, pending):
+        """Resolve a launch_pairs handle: overflow rescue + pairing +
+        orphan rescue (host side)."""
+        import jax
+
+        out, dp, reads1, len1, reads2, len2 = pending
+        eng = self.engine
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        res["derived"] = dp
+        reads = np.concatenate([reads1, reads2])
+        lengths = np.concatenate([len1, len2])
+        eng.rescue_pass(reads, lengths, res)
+        N = len(reads1)
+        res1 = {k: (v[:N] if hasattr(v, "__len__") else v)
+                for k, v in res.items()}
+        res2 = {k: (v[N:] if hasattr(v, "__len__") else v)
+                for k, v in res.items()}
+        return self._pair_and_rescue(res1, res2, reads1, len1, reads2,
+                                     len2)
+
     def align_pairs(self, reads1, len1, reads2, len2):
         """Full PE path. reads*: (N, L) int8. Returns a result dict with
         per-pair fields; loci for rescued mates filled in.
@@ -179,6 +209,11 @@ class PEAligner:
         else:
             res1 = eng.align_with_rescue(reads1, len1)
             res2 = eng.align_with_rescue(reads2, len2)
+        return self._pair_and_rescue(res1, res2, reads1, len1, reads2,
+                                     len2)
+
+    def _pair_and_rescue(self, res1, res2, reads1, len1, reads2, len2):
+        eng = self.engine
         starts = np.asarray(jax.device_get(eng.didx.entry_starts))
         cls = classify_pairs(res1, res2, len1, len2, starts, self.pe)
 

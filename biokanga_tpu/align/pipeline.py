@@ -358,6 +358,12 @@ class AlignEngine:
         (the batched analogue of the reference's progressive sensitivity in
         CSfxArrayV3::AlignReads, SfxArrayV2.cpp:7663-7760)."""
         res = self.align_batch(reads, lengths)
+        self.rescue_pass(reads, lengths, res)
+        return res
+
+    def rescue_pass(self, reads: np.ndarray, lengths: np.ndarray,
+                    res: dict) -> None:
+        """Apply the wider rescue pass in place to a primary result."""
         need = (~res["unique"]) & res["overflow"]
         if need.any():
             rows = np.nonzero(need)[0]

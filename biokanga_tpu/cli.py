@@ -522,6 +522,36 @@ def cmd_align(argv: list[str]) -> int:
         n_pairs = n_proper = 0
         with open(args.out, "w") as out:
             first = True
+
+            def emit(pending, blk1, blk2):
+                nonlocal first, n_pairs, n_proper
+                res = pe.finish_pairs(pending)
+                nb = len(blk1.names)
+                sub = lambda d: {
+                    k: (v[:nb] if hasattr(v, "__len__") else v)
+                    for k, v in d.items()
+                }
+                res_v = {
+                    "res1": sub(res["res1"]), "res2": sub(res["res2"]),
+                    "proper": res["proper"][:nb],
+                    "insert": res["insert"][:nb],
+                }
+                write_pe_sam(
+                    out, idx.entry_names, idx.entry_starts,
+                    blk1.names, blk1.codes, blk1.lengths,
+                    blk2.names, blk2.codes, blk2.lengths,
+                    res_v, write_header=first,
+                )
+                first = False
+                n_pairs += nb
+                n_proper += int(res["proper"][:nb].sum())
+                if args.peinsertdist:
+                    pe_stats.add_inserts(res["insert"][:nb],
+                                         res["proper"][:nb])
+
+            # double-buffered: next block's fused align runs on device
+            # while this block pairs/rescues/writes on host
+            inflight = None
             for p1, p2 in zip(args.inreads, args.pair):
                 m1, m2 = pe_mates if pe_mates else (None, None)
                 for blk1, blk2 in zip(
@@ -530,29 +560,12 @@ def cmd_align(argv: list[str]) -> int:
                 ):
                     r1, l1 = pad_rows(blk1.codes, blk1.lengths)
                     r2, l2 = pad_rows(blk2.codes, blk2.lengths)
-                    res = pe.align_pairs(r1, l1, r2, l2)
-                    nb = len(blk1.names)
-                    sub = lambda d: {
-                        k: (v[:nb] if hasattr(v, "__len__") else v)
-                        for k, v in d.items()
-                    }
-                    res_v = {
-                        "res1": sub(res["res1"]), "res2": sub(res["res2"]),
-                        "proper": res["proper"][:nb],
-                        "insert": res["insert"][:nb],
-                    }
-                    write_pe_sam(
-                        out, idx.entry_names, idx.entry_starts,
-                        blk1.names, blk1.codes, blk1.lengths,
-                        blk2.names, blk2.codes, blk2.lengths,
-                        res_v, write_header=first,
-                    )
-                    first = False
-                    n_pairs += nb
-                    n_proper += int(res["proper"][:nb].sum())
-                    if args.peinsertdist:
-                        pe_stats.add_inserts(res["insert"][:nb],
-                                             res["proper"][:nb])
+                    nxt = (pe.launch_pairs(r1, l1, r2, l2), blk1, blk2)
+                    if inflight is not None:
+                        emit(*inflight)
+                    inflight = nxt
+            if inflight is not None:
+                emit(*inflight)
         if args.peinsertdist:
             pe_stats.write_csv(args.peinsertdist)
         log.info(

@@ -106,3 +106,31 @@ def test_orphan_rescue_recovers_mild_corruption(pe_setup):
         if with_rescue["proper"][i] and not no_rescue["proper"][i]:
             e = int(starts[name_to_ei[t2[i].chrom]])
             assert int(with_rescue["res2"]["locus"][i]) == e + t2[i].start - 1
+
+
+def test_launch_finish_equals_align_pairs():
+    import numpy as np
+
+    from biokanga_tpu.align.params import AlignParams
+    from biokanga_tpu.align.pipeline import AlignEngine
+    from biokanga_tpu.align.pe import PEAligner, PEParams
+    from biokanga_tpu.index.build import build_index
+    from biokanga_tpu.index.device import to_device
+    from biokanga_tpu.sim.simreads import random_genome, simulate_reads
+
+    seqs = random_genome([("c", 30000)], seed=3)
+    _, reads, _ = simulate_reads(seqs, 128, read_len=100, sub_rate=0.01,
+                                 seed=4, pe=True, insert_min=200,
+                                 insert_max=400)
+    r1, r2 = reads[0::2], reads[1::2]
+    ln = np.full(128, 100, np.int32)
+    pea = PEAligner(
+        AlignEngine(to_device(build_index(seqs, lut_bases=8)),
+                    AlignParams(batch_size=128)),
+        PEParams(pair_min_len=150, pair_max_len=450),
+    )
+    a = pea.align_pairs(r1, ln, r2, ln)
+    b = pea.finish_pairs(pea.launch_pairs(r1, ln, r2, ln))
+    np.testing.assert_array_equal(a["proper"], b["proper"])
+    np.testing.assert_array_equal(a["res1"]["locus"], b["res1"]["locus"])
+    np.testing.assert_array_equal(a["res2"]["locus"], b["res2"]["locus"])
