@@ -277,6 +277,130 @@ def build_sharded_align_fn(
     return step
 
 
+def build_sharded_fallthrough_fn(
+    mesh: Mesh,
+    sidx: ChunkShardedIndex,
+    params: AlignParams,
+    dp_params,
+    micro_indel_len: int,
+    splice_junct_len: int,
+    cand_cap: int = 24,
+):
+    """SPMD micro-indel/splice fall-through: every 'sp' shard scans the
+    leftover reads against ITS resident chunk (align/splice_indel.py
+    kernels on the shard-local packed rows), winners argmax-merge by
+    score over 'sp' — the mesh realisation of the -a/-A AlignReads
+    fall-through (SfxArrayV2.cpp:7663-7760).  Leftover rows are few, so
+    reads replicate across the whole mesh for this pass."""
+    from jax import shard_map
+
+    from ..align.pipeline import _rc_reads, _strand_candidates
+    from ..align.splice_indel import indel_scan, splice_scan
+    from ..ops.extend_packed import pack_reads
+
+    ap = params
+    n_sp = sidx.n_sp
+    lut_bases = sidx.lut_bases
+    max_steps = sidx.max_bsearch_steps
+    pk_len = sidx.pk_len
+    NEG = jnp.int32(-(1 << 20))
+
+    def local_step(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
+                   pk_rows, pk_nrows, owned, reads, lengths):
+        arrays = (key_hi[0], key_lo[0], lut[0], pos_rows[0], lut_bases,
+                  max_steps)
+        B, L = reads.shape
+        es = entry_starts[0]
+        rows_pg = pk_rows[0]
+        nrows_pg = pk_nrows[0]
+        best = None
+        for is_rc in (False, True):
+            seq = _rc_reads(reads, lengths) if is_rc else reads
+            # NO owned mask here: a junction's 3' segment may live in the
+            # overlap tail; duplicate finds across shards merge by score
+            # (earlier shard wins ties), matching the chunked driver
+            loci, vmask, _ = _strand_candidates(
+                arrays, seq, dp_params, ap.cand_per_core, cand_cap,
+            )
+            rcodes, rnlane = pack_reads(seq, lengths)
+            outs = []
+            if micro_indel_len:
+                o = indel_scan(rows_pg, nrows_pg, True, pk_len, es, loci,
+                               vmask, rcodes, rnlane, lengths, L,
+                               micro_indel_len)
+                locus = jnp.take_along_axis(loci, o["cand"][:, None],
+                                            1)[:, 0]
+                outs.append({
+                    "ok": o["ok"], "score": o["score"], "mm": o["mm"],
+                    "split": o["split"], "locus": locus,
+                    "op": o["indel"].astype(jnp.int32),
+                    "gaplen": jnp.zeros(B, jnp.int32),
+                })
+            if splice_junct_len:
+                o = splice_scan(rows_pg, nrows_pg, True, pk_len, es, loci,
+                                vmask, rcodes, rnlane, lengths, L,
+                                splice_junct_len)
+                outs.append({
+                    "ok": o["ok"], "score": o["score"], "mm": o["mm"],
+                    "split": o["split"], "locus": o["locus5"],
+                    "op": jnp.full(B, 1 << 30, jnp.int32),
+                    "gaplen": (o["locus3"] - o["locus5"]).astype(jnp.int32),
+                })
+            for o in outs:
+                o["is_rc"] = jnp.full(B, is_rc, jnp.bool_)
+                o["score"] = jnp.where(o["ok"], o["score"], NEG)
+                if best is None:
+                    best = o
+                else:
+                    better = o["score"] > best["score"]
+                    best = {k: jnp.where(better, o[k], best[k])
+                            for k in best}
+
+        # merge over 'sp': winner shard by score (earlier shard at ties)
+        g = lambda a: jax.lax.all_gather(a, "sp")
+        scores = g(best["score"])                   # (n_sp, B)
+        ks = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        take = lambda a: jnp.take_along_axis(g(a), ks[None, :], axis=0)[0]
+        return {
+            "ok": take(best["ok"].astype(jnp.int32)).astype(jnp.bool_)
+            & (jnp.max(scores, axis=0) > NEG),
+            "score": jnp.max(scores, axis=0),
+            "mm": take(best["mm"]),
+            "split": take(best["split"]),
+            "locus": take(best["locus"]),
+            "chunk": ks,
+            "is_rc": take(best["is_rc"].astype(jnp.int32)).astype(
+                jnp.bool_),
+            "op": take(best["op"]),
+            "gaplen": take(best["gaplen"]),
+        }
+
+    out_specs = {k: P() for k in ("ok", "score", "mm", "split", "locus",
+                                  "chunk", "is_rc", "op", "gaplen")}
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("sp", None), P("sp", None), P("sp", None, None),
+            P("sp", None), P("sp", None), P("sp", None),
+            P("sp", None, None), P("sp", None, None), P("sp", None),
+            P(), P(),
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(reads, lengths):
+        return mapped(
+            sidx.genome, sidx.entry_starts, sidx.pos_rows, sidx.key_hi,
+            sidx.key_lo, sidx.lut, sidx.pk_rows, sidx.pk_nrows, sidx.owned,
+            reads, lengths,
+        )
+
+    return step
+
+
 def build_sharded_pileup_fn(mesh: Mesh, sidx: ChunkShardedIndex):
     """SPMD SNP pileup, chunk-sharded: each (dp, sp) device scatter-adds
     its dp block's accepted alignments THAT LIVE IN ITS CHUNK into local
@@ -384,7 +508,9 @@ class ShardedAligner:
         uniform = bool(np.all(lengths == L))
         fn, dp = self._fn(int(L), int(H), int(cand_cap), uniform)
         out = fn(jnp.asarray(reads), jnp.asarray(lengths))
-        res = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        # np.array (copy): device_get views are read-only and the rescue/
+        # fall-through passes mutate these in place
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         res["derived"] = dp
         return res
 
@@ -416,4 +542,52 @@ class ShardedAligner:
         res["ml_loci"] = (
             bases[res["ml_chunk"]] + res["ml_loci"].astype(np.int64)
         )
+        return res
+
+    def align_extended(self, reads: np.ndarray, lengths: np.ndarray,
+                       micro_indel_len: int = 0,
+                       splice_junct_len: int = 0) -> dict:
+        """align() + the SPMD micro-indel/splice fall-through for reads
+        the Hamming pass could not accept (-a/-A on the mesh)."""
+        res = self.align(reads, lengths)
+        B = len(reads)
+        res["cigar_op"] = np.zeros(B, np.int64)
+        res["op_len"] = np.zeros(B, np.int64)
+        res["split"] = np.zeros(B, np.int32)
+        if not (micro_indel_len or splice_junct_len):
+            return res
+        left = np.nonzero(~res["unique"] & ~res["any_hit"])[0]
+        if len(left) == 0:
+            return res
+        from ..align.pipeline import pad_rows
+
+        sub_r, sub_l = pad_rows(reads[left], lengths[left])
+        key = (sub_r.shape[1], micro_indel_len, splice_junct_len,
+               "fallthrough")
+        if key not in self._fns:
+            dp = self.params.derive(int(sub_r.shape[1]),
+                                    self.sidx.total_len)
+            self._fns[key] = (
+                build_sharded_fallthrough_fn(
+                    self.mesh, self.sidx, self.params, dp,
+                    micro_indel_len, splice_junct_len,
+                ),
+                dp,
+            )
+        fn, _ = self._fns[key]
+        out = {k: np.asarray(v) for k, v in jax.device_get(
+            fn(jnp.asarray(sub_r), jnp.asarray(sub_l))).items()}
+        acc = np.nonzero(out["ok"])[0]
+        acc = acc[acc < len(left)]
+        gi = left[acc]
+        res["unique"][gi] = True
+        res["any_hit"][gi] = True
+        res["locus"][gi] = (self.sidx.bases[out["chunk"][acc]]
+                            + out["locus"][acc].astype(np.int64))
+        res["is_rc"][gi] = out["is_rc"][acc]
+        res["best_mm"][gi] = np.minimum(out["mm"][acc], 255).astype(
+            np.uint8)
+        res["split"][gi] = out["split"][acc]
+        res["cigar_op"][gi] = out["op"][acc]
+        res["op_len"][gi] = out["gaplen"][acc]
         return res

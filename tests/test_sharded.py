@@ -65,3 +65,46 @@ def test_sharded_matches_single_exact(n_dp, n_sp):
                                   single["ml_rc"][valid])
     assert (out["inst"][:16] >= 3).all()
     assert single["unique"].sum() > 9000
+
+
+def test_sharded_extended_indel_splice():
+    """-a/-A fall-through on the mesh == single-index ExtendedAligner."""
+    from biokanga_tpu.align.pipeline import ExtendedAligner
+
+    seqs = random_genome([("c1", 60000)], seed=17)
+    s = seqs[0][1]
+    rng = np.random.default_rng(5)
+    L = 100
+    rows = []
+    for i in range(32):   # deletion reads
+        st = 200 + i * 400
+        w = s[st : st + L + 3]
+        rows.append(np.concatenate([w[:50], w[53:]]))
+    for i in range(32):   # junction reads across a 5 kb gap
+        st = 30000 + i * 50
+        rows.append(np.concatenate([s[st : st + 50],
+                                    s[st + 5000 + 50 : st + 5000 + L]]))
+    reads = np.stack(rows).astype(np.int8)
+    lengths = np.full(len(reads), L, np.int32)
+    reads, lengths = pad_rows(reads, lengths)
+
+    params = AlignParams(batch_size=len(reads))
+    single = ExtendedAligner(
+        AlignEngine(to_device(build_index(seqs, lut_bases=10)), params),
+        micro_indel_len=9, splice_junct_len=50_000,
+    ).align(reads, lengths)
+
+    ci = build_chunked_index(seqs, num_chunks=4, overlap=8192,
+                             lut_bases=10)
+    mesh = make_mesh(2, 4)
+    sa = ShardedAligner(mesh, ci, params)
+    out = sa.align_extended(reads, lengths, micro_indel_len=9,
+                            splice_junct_len=50_000)
+    np.testing.assert_array_equal(out["unique"], single["unique"])
+    u = single["unique"]
+    np.testing.assert_array_equal(out["locus"][u],
+                                  single["locus"].astype(np.int64)[u])
+    np.testing.assert_array_equal(out["cigar_op"][u],
+                                  single["cigar_op"][u])
+    np.testing.assert_array_equal(out["op_len"][u], single["op_len"][u])
+    assert single["unique"][:64].sum() > 60
