@@ -47,7 +47,7 @@ def main() -> None:
 
     seqs = random_genome([("chr", genome_len)], seed=42)
     t0 = time.monotonic()
-    idx = build_index(seqs, lut_bases=12)
+    idx = build_index(seqs, lut_bases=10)
     t_index = time.monotonic() - t0
 
     names, reads, truths = simulate_reads(

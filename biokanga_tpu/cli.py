@@ -50,7 +50,10 @@ def cmd_index(argv: list[str]) -> int:
                         "is dibase-color transformed before indexing")
     p.add_argument("-s", "--synthetic-mbp", type=int, default=100,
                    help="mode 2: synthetic genome size in Mbp")
-    p.add_argument("--lut-bases", type=int, default=12)
+    p.add_argument("--lut-bases", type=int, default=0,
+                   help="prefix LUT width in bases (0 = auto: 10 for "
+                        "genomes <= 20 Mbp — 4 MB cache-friendly table, "
+                        "core lengths there are <= 10 — else 12)")
     p.add_argument("--chunks", type=int, default=0,
                    help="force this many genome-range chunks (multi-chip "
                         "'sp' degree); 0 = auto (chunked only past 2^31 "
@@ -67,6 +70,11 @@ def cmd_index(argv: list[str]) -> int:
     sw = StopWatch()
     from .index.build import build_index, build_index_from_fasta, save_index
 
+    def auto_lut(total_bp: int) -> int:
+        if args.lut_bases:
+            return args.lut_bases
+        return 10 if total_bp <= 20_000_000 else 12
+
     if args.mode == 2:
         from .sim.simreads import random_genome
 
@@ -74,7 +82,7 @@ def cmd_index(argv: list[str]) -> int:
         seqs = random_genome([("synth", nbp)], seed=1)
         log.info("synthetic genome: %d Mbp (RAM-only benchmark mode)",
                  args.synthetic_mbp)
-        idx = build_index(seqs, lut_bases=args.lut_bases)
+        idx = build_index(seqs, lut_bases=auto_lut(nbp))
     elif args.mode == 1:
         if not args.infasta:
             p.error("-i/--infasta required for -m1")
@@ -84,7 +92,8 @@ def cmd_index(argv: list[str]) -> int:
         seqs = []
         for path in args.infasta:
             seqs.extend((r.name, r.codes) for r in read_seqs(path))
-        ct, ga = build_bisulfite_indexes(seqs, lut_bases=args.lut_bases)
+        ct, ga = build_bisulfite_indexes(
+            seqs, lut_bases=auto_lut(sum(len(x) for _, x in seqs)))
         log.info("bisulfite-indexed %d entries, %d bp in %.1fs",
                  ct.num_entries, ct.total_len, sw.mark("build"))
         save_bisulfite_index(ct, ga, args.out)
@@ -100,7 +109,8 @@ def cmd_index(argv: list[str]) -> int:
         seqs = []
         for path in args.infasta:
             seqs.extend((r.name, r.codes) for r in read_seqs(path))
-        idx = build_colorspace_index(seqs, lut_bases=args.lut_bases)
+        idx = build_colorspace_index(
+            seqs, lut_bases=auto_lut(sum(len(x) for _, x in seqs)))
     else:
         if not args.infasta:
             p.error("-i/--infasta required unless -m2")
@@ -116,7 +126,7 @@ def cmd_index(argv: list[str]) -> int:
             nchunks = args.chunks or -(-total // ((1 << 31) - 2**20))
             ci = build_chunked_index(
                 seqs, num_chunks=nchunks, overlap=args.chunk_overlap,
-                lut_bases=args.lut_bases,
+                lut_bases=args.lut_bases or 12,
             )
             log.info(
                 "chunk-indexed %d entries, %d bp total across %d chunks "
@@ -127,7 +137,7 @@ def cmd_index(argv: list[str]) -> int:
             log.info("chunked index written to %s (%.1fs)", args.out,
                      sw.elapsed())
             return 0
-        idx = build_index(seqs, lut_bases=args.lut_bases)
+        idx = build_index(seqs, lut_bases=auto_lut(total))
     log.info(
         "indexed %d entries, %d bp total in %.1fs",
         idx.num_entries, idx.total_len, sw.mark("build"),
