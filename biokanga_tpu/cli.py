@@ -253,6 +253,23 @@ def cmd_align(argv: list[str]) -> int:
                                    mate=mate)
         return read_blocks(path, block_size=args.batch_size)
 
+    # .bam output: write SAM to a temp path, convert at the end — hoisted
+    # above the bisulfite/chunked/colorspace branches so every align mode
+    # honours it
+    bam_out = None
+    if args.out.endswith(".bam"):
+        bam_out = args.out
+        args.out = args.out + ".tmp.sam"
+
+    def finish_bam() -> None:
+        if bam_out:
+            import os
+
+            from .align.bam import sam_to_bam
+
+            sam_to_bam(args.out, bam_out)
+            os.remove(args.out)
+
     from .index.build import is_bisulfite_index
 
     if is_bisulfite_index(args.sfx):
@@ -291,6 +308,7 @@ def cmd_align(argv: list[str]) -> int:
         log.info("bisulfite-aligned %d reads: %d unique (%.2f%%) in %.1fs",
                  n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
                  sw.elapsed())
+        finish_bam()
         return 0
 
     from .index.chunked import is_chunked_index
@@ -356,6 +374,7 @@ def cmd_align(argv: list[str]) -> int:
             log.info("chunk-aligned %d pairs: %d proper (%.2f%%) in %.1fs",
                      n_pairs, n_proper,
                      100.0 * n_proper / max(n_pairs, 1), sw.elapsed())
+            finish_bam()
             return 0
         # SE: chunk-major streaming over all blocks
         blocks, names_list = [], []
@@ -445,6 +464,7 @@ def cmd_align(argv: list[str]) -> int:
         log.info("chunk-aligned %d reads: %d unique (%.2f%%) in %.1fs",
                  n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
                  sw.elapsed())
+        finish_bam()
         return 0
 
     idx = load_index(args.sfx)
@@ -484,12 +504,9 @@ def cmd_align(argv: list[str]) -> int:
         log.info("colorspace-aligned %d reads: %d unique (%.2f%%) in %.1fs",
                  n_total, n_unique, 100.0 * n_unique / max(n_total, 1),
                  sw.elapsed())
+        finish_bam()
         return 0
 
-    bam_out = None
-    if args.out.endswith(".bam"):
-        bam_out = args.out
-        args.out = args.out + ".tmp.sam"
     params = AlignParams(
         # PCR5PrimerCorrect mode aligns with a widened sub budget, then
         # corrects back to -s (reference -6 semantics, kanga.cpp:251)
@@ -582,13 +599,7 @@ def cmd_align(argv: list[str]) -> int:
             "paired %d pairs: %d proper (%.2f%%) in %.1fs",
             n_pairs, n_proper, 100.0 * n_proper / max(n_pairs, 1), sw.elapsed(),
         )
-        if bam_out:
-            import os
-
-            from .align.bam import sam_to_bam
-
-            sam_to_bam(args.out, bam_out)
-            os.remove(args.out)
+        finish_bam()
         return 0
 
     pileup = None
