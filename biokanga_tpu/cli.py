@@ -1387,13 +1387,18 @@ def cmd_rnade(argv):
                    help="Poisson-noise bootstrap iterations for CIs + "
                         "p-values (kangade cMaxConfidenceIterations role;"
                         " 0 disables)")
+    p.add_argument("-r", "--region", default="feature",
+                   choices=("feature", "exons", "introns", "cds", "utr",
+                            "utr5", "utr3"),
+                   help="functional region to count (kangade -r 0..6)")
     args = p.parse_args(argv)
     from .seq.annotations import read_bed
     from .tools.expression import rnade, write_rnade_csv
 
     res = rnade(read_bed(args.bed), args.control, args.experiment,
                 num_bins=args.bins, min_feat_cnts=args.min_cnts,
-                confidence_iters=args.confidence_iters)
+                confidence_iters=args.confidence_iters,
+                region=args.region)
     write_rnade_csv(args.out, res)
     print(f"rnade: {len(res)} features characterised")
     return 0

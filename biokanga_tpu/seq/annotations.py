@@ -69,6 +69,8 @@ def read_bed(path: str) -> list[Feature]:
                 starts = [int(x) for x in fl[11].rstrip(",").split(",") if x]
                 feat.exon_sizes = sizes
                 feat.exon_starts = starts
+                feat.attrs["thick_start"] = int(fl[6])
+                feat.attrs["thick_end"] = int(fl[7])
             out.append(feat)
     return out
 

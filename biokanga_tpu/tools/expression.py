@@ -130,6 +130,40 @@ class DEResult:
     pvalue: float = 1.0
 
 
+REGIONS = ("feature", "exons", "introns", "cds", "utr", "utr5", "utr3")
+
+
+def region_intervals(ft, region: str):
+    """Genomic intervals of the requested functional region (kangade -r
+    modes 0..6: complete transcript / Exons / Introns / CDSs / UTRs /
+    5'UTRs / 3'UTRs — kangade.cpp region arg).  CDS/UTR use BED12
+    thickStart/thickEnd when present."""
+    if region == "feature":
+        return [(ft.start, ft.end)]
+    ex = ft.exons()
+    if region == "exons":
+        return ex
+    if region == "introns":
+        return [(ex[i][1], ex[i + 1][0]) for i in range(len(ex) - 1)
+                if ex[i + 1][0] > ex[i][1]]
+    ts = ft.attrs.get("thick_start", ft.start)
+    te = ft.attrs.get("thick_end", ft.end)
+    if region == "cds":
+        return [(max(s, ts), min(e, te)) for s, e in ex
+                if min(e, te) > max(s, ts)]
+    five = [(s, min(e, ts)) for s, e in ex if min(e, ts) > s]
+    three = [(max(s, te), e) for s, e in ex if e > max(s, te)]
+    if ft.strand == "-":
+        five, three = three, five
+    if region == "utr":
+        return five + three
+    if region == "utr5":
+        return five
+    if region == "utr3":
+        return three
+    raise ValueError(f"unknown region {region}")
+
+
 def _bootstrap_de(c_bins, e_bins, scale, iters, seed=7):
     """Vectorised Poisson-noise bootstrap over (F, B) bin-count matrices.
 
@@ -176,22 +210,43 @@ def rnade(
     num_bins: int = 10,
     min_feat_cnts: int = 10,
     confidence_iters: int = 1000,
+    region: str = "feature",
 ) -> list[DEResult]:
     """Differential expression: per-feature normalised counts, binned
     start-loci profiles for Pearson correlation, fold-change
-    classification with the reference's thresholds."""
+    classification with the reference's thresholds.  `region` restricts
+    counting to a functional region (kangade -r; see region_intervals)."""
     ctrl = read_sam_loci(control_sam)
     expr = read_sam_loci(experiment_sam)
     fidx = FeatureIndex(bed_features)
+    # per-feature region interval lists + cumulative region-space offsets
+    regions = [region_intervals(ft, region) for ft in bed_features]
+    reg_cum = []
+    for iv in regions:
+        c = [0]
+        for s, e in iv:
+            c.append(c[-1] + (e - s))
+        reg_cum.append(c)
 
     def bin_profiles(loci):
         counts = np.zeros(len(bed_features), dtype=np.float64)
         bins = np.zeros((len(bed_features), num_bins), dtype=np.float64)
         for chrom, s, e, strand in loci:
             for h in fidx.overlapping(chrom, s, e):
-                ft = bed_features[h]
+                iv = regions[h]
+                if not iv:
+                    continue
+                # read start must fall inside a region interval; bin by
+                # its offset in concatenated region space
+                pos = None
+                for j, (a, b_) in enumerate(iv):
+                    if a <= s < b_:
+                        pos = reg_cum[h][j] + (s - a)
+                        break
+                if pos is None:
+                    continue
                 counts[h] += 1
-                rel = (s - ft.start) / max(ft.end - ft.start, 1)
+                rel = pos / max(reg_cum[h][-1], 1)
                 b = min(int(rel * num_bins), num_bins - 1)
                 if b >= 0:
                     bins[h, b] += 1

@@ -148,3 +148,26 @@ def test_rnade_bootstrap_cis():
     # feature 1: unchanged
     assert out[1, 1] < 1.0 < out[1, 2]
     assert out[1, 6] > 0.2
+
+
+def test_rnade_region_modes():
+    import numpy as np
+
+    from biokanga_tpu.seq.annotations import Feature
+    from biokanga_tpu.tools.expression import region_intervals
+
+    ft = Feature("c", 100, 1000, "g", strand="+",
+                 exon_starts=[0, 400, 800], exon_sizes=[100, 100, 100],
+                 attrs={"thick_start": 150, "thick_end": 950})
+    assert region_intervals(ft, "feature") == [(100, 1000)]
+    assert region_intervals(ft, "exons") == [(100, 200), (500, 600),
+                                             (900, 1000)]
+    assert region_intervals(ft, "introns") == [(200, 500), (600, 900)]
+    assert region_intervals(ft, "cds") == [(150, 200), (500, 600),
+                                           (900, 950)]
+    assert region_intervals(ft, "utr5") == [(100, 150)]
+    assert region_intervals(ft, "utr3") == [(950, 1000)]
+    assert region_intervals(ft, "utr") == [(100, 150), (950, 1000)]
+    # minus strand swaps UTR ends
+    ft.strand = "-"
+    assert region_intervals(ft, "utr5") == [(950, 1000)]
