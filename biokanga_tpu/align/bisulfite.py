@@ -71,6 +71,7 @@ def merge_two_pass(r_fwd: dict, r_alt: dict, lengths: np.ndarray,
         max_tot = np.clip(
             np.floor(lengths * (ap.max_subs_per100 / 100.0) + 0.5
                      ).astype(np.int32), 1, 63)
+    Ko = max(1, ap.max_multi)
     best = mm_s[:, 0]
     next_mm = mm_s[:, 1] if mm_s.shape[1] > 1 else np.full_like(best, 255)
     inst = (mm == best[:, None]).sum(axis=1)
@@ -85,8 +86,13 @@ def merge_two_pass(r_fwd: dict, r_alt: dict, lengths: np.ndarray,
         "is_rc": str_s[:, 0],
         "overflow": np.asarray(r_fwd["overflow"]) | np.asarray(
             r_alt["overflow"]),
-        "ml_loci": loci_s[:, : max(1, ap.max_multi)],
-        "ml_mm": np.minimum(mm_s[:, : max(1, ap.max_multi)],
-                            255).astype(np.uint8),
-        "ml_rc": str_s[:, : max(1, ap.max_multi)],
+        # valid-hit masking as in the accept stage (align/pipeline.py):
+        # rows beyond the per-read budget are not alignments
+        "ml_loci": np.where(mm_s[:, :Ko] <= max_tot[:, None],
+                            loci_s[:, :Ko], -1),
+        "ml_mm": np.where(mm_s[:, :Ko] <= max_tot[:, None],
+                          np.minimum(mm_s[:, :Ko], 255), 255
+                          ).astype(np.uint8),
+        "ml_rc": np.where(mm_s[:, :Ko] <= max_tot[:, None],
+                          str_s[:, :Ko], False),
     }

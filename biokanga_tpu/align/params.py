@@ -70,6 +70,12 @@ class AlignParams:
     # overflow flag so affected reads go through the rescue pass
     max_cand_per_strand: int = 192
     batch_size: int = 4096
+    # two-level seeding: a LONG-core first pass resolves the typical read
+    # with ~50x fewer candidates; unresolved reads fall back to the full
+    # reference-core pass (the TPU reformulation of the reference's own
+    # progressive-sensitivity driver, SfxArrayV2.cpp:7663-7760) — see
+    # derive_fast for the exactness guarantee
+    fast_pass: bool = True
 
     def derive(self, read_len: int, genome_len: int) -> "DerivedParams":
         if self.max_subs_per100 == 0:
@@ -96,6 +102,57 @@ class AlignParams:
         )
 
 
+    def derive_fast(self, read_len: int, genome_len: int,
+                    lut_bases: int) -> "FastPassParams | None":
+        """Long-core FIRST-PASS parameters for two-level seeding.
+
+        Exactness guarantee (pigeonhole over disjoint cores): with n
+        disjoint cores of length F fully inside a read, any target locus
+        whose Hamming distance (mismatches + N positions) is <= n-1 has
+        at least one clean exact core, so the pass discovers EVERY hit
+        with mm <= G = n-1.  A read is therefore fully RESOLVED by this
+        pass — best/locus/inst/uniqueness all provably equal to the full
+        reference-core pass — iff
+
+            best_found <= G + 1 - MMDelta   and no candidate-cap overflow
+
+        (any undiscovered hit has mm >= G+1, so it can neither beat the
+        best nor shrink the accept margin below MMDelta).  Unresolved
+        reads rerun through the classic pass, mirroring the reference's
+        progressive sensitivity (CSfxArrayV3::AlignReads ladder,
+        libbiokanga/SfxArrayV2.cpp:7663-7760).
+
+        F is chosen as the LUT prefix width when that alone keeps the
+        expected junk-hit rate low (pure-LUT lookup, no binary search),
+        else read_len//8; passes that would not coarsen the cores (or
+        give < 3 disjoint cores) return None -> single-level alignment.
+        """
+        dp = self.derive(read_len, genome_len)
+        if not self.fast_pass or self.max_subs_per100 == 0:
+            return None
+        junk_lut = genome_len / 4 ** lut_bases
+        if lut_bases > dp.core_len and junk_lut <= 8.0:
+            F = lut_bases
+        else:
+            F = min(max(read_len // 8, dp.core_len + 1), 32)
+        if F <= dp.core_len:
+            return None
+        n_disjoint = read_len // F
+        if n_disjoint < 3 or n_disjoint <= self.min_edit_dist:
+            return None
+        offsets = [i * F for i in range(n_disjoint)]
+        if offsets[-1] + F < read_len:
+            offsets.append(read_len - F)  # flush core: free extra looks
+        dpf = DerivedParams(
+            read_len=read_len, max_tot_mm=dp.max_tot_mm, core_len=F,
+            core_delta=F, max_slides=len(offsets), offsets=tuple(offsets),
+        )
+        junk = genome_len / 4 ** F
+        H = 16 if junk <= 1.0 else (32 if junk <= 4.0 else 48)
+        cap = max(32, 2 * H)
+        return FastPassParams(dp=dpf, H=H, cand_cap=cap)
+
+
 @dataclass(frozen=True)
 class DerivedParams:
     read_len: int
@@ -104,6 +161,25 @@ class DerivedParams:
     core_delta: int
     max_slides: int
     offsets: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class FastPassParams:
+    dp: "DerivedParams"
+    H: int          # per-core candidate slots in the fast pass
+    cand_cap: int   # post-dedup per-strand cap in the fast pass
+
+    def resolved_bound(self, lengths, min_edit_dist: int):
+        """Per-read max best_mm for which the fast pass is exact:
+        n_cores(read) - MMDelta, with n_cores = disjoint long cores fully
+        inside the read (ragged reads have fewer)."""
+        import numpy as np
+
+        F = self.dp.core_len
+        n_cores = np.minimum(
+            np.asarray(lengths, np.int32) // F, self.dp.read_len // F
+        )
+        return n_cores - np.int32(min_edit_dist)
 
 
 def core_offsets(L: int, core_len: int, core_delta: int, max_slides: int):

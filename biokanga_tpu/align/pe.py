@@ -164,22 +164,15 @@ class PEAligner:
         while classifying/rescuing the previous one (the PE analogue of
         AlignEngine.align_stream double buffering)."""
         eng = self.engine
-        out, dp = eng.launch(np.concatenate([reads1, reads2]),
-                             np.concatenate([len1, len2]))
-        return (out, dp, reads1, len1, reads2, len2)
+        state = eng.launch_primary(np.concatenate([reads1, reads2]),
+                                   np.concatenate([len1, len2]))
+        return (state, reads1, len1, reads2, len2)
 
     def finish_pairs(self, pending):
-        """Resolve a launch_pairs handle: overflow rescue + pairing +
-        orphan rescue (host side)."""
-        import jax
-
-        out, dp, reads1, len1, reads2, len2 = pending
-        eng = self.engine
-        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
-        res["derived"] = dp
-        reads = np.concatenate([reads1, reads2])
-        lengths = np.concatenate([len1, len2])
-        eng.rescue_pass(reads, lengths, res)
+        """Resolve a launch_pairs handle: two-level completion + overflow
+        rescue + pairing + orphan rescue (host side)."""
+        state, reads1, len1, reads2, len2 = pending
+        res = self.engine.finish_primary(state)
         N = len(reads1)
         res1 = {k: (v[:N] if hasattr(v, "__len__") else v)
                 for k, v in res.items()}

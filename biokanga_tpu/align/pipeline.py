@@ -229,19 +229,36 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
     unique = any_hit & (
         (next_mm - best) >= jnp.int32(ap.min_edit_dist)
     )
+    # next_mm is CANONICAL only up to the accept margin: saturate at
+    # best + MMDelta.  Beyond the margin the raw second-best value is a
+    # junk-candidate artefact that depends on discovery order/candidate
+    # budget (true in the reference too — NxtLowMMCnt under progressive
+    # sensitivity, SfxArrayV2.cpp:7663-7760), so saturation is what makes
+    # single-level, two-level-fast-pass, chunked and sharded engines
+    # bit-identical.  Saturation composes with the min-based chunk merge
+    # (parallel/chunked.py merge_chunk_results).
+    next_sat = jnp.minimum(next_mm, best + jnp.int32(ap.min_edit_dist))
+    # ml_* rows are VALID HITS only: rows whose mm exceeds the per-read
+    # budget are junk-candidate artefacts, masked to (locus=-1, mm=255).
+    # Contract: the tied-best prefix (mm == best_mm) is exact — that is
+    # what multi-hit assignment consumes, and all the reference itself
+    # retains (Aligner.cpp:5109) — while rows in (best, MaxTotMM] are
+    # best-effort under params.fast_pass (complete when fast_pass=False).
+    ml_mm_rows = s_key[:K] >> 1
+    ml_ok = ml_mm_rows <= max_tot_mm[None, :]
     return {
         "unique": unique,
         "any_hit": any_hit,
         "best_mm": jnp.minimum(best, MM_INVALID).astype(jnp.uint8),
-        "next_mm": jnp.minimum(next_mm, MM_INVALID).astype(jnp.uint8),
+        "next_mm": jnp.minimum(next_sat, MM_INVALID).astype(jnp.uint8),
         "inst": inst,
         "locus": locus,
         "is_rc": is_rc_hit,
         "overflow": ovf,
-        "ml_loci": s_loci[:K].T,
-        "ml_mm": jnp.minimum(s_key[:K] >> 1, 255).astype(
-            jnp.uint8).T,
-        "ml_rc": (s_key[:K] & 1).astype(jnp.bool_).T,
+        "ml_loci": jnp.where(ml_ok, s_loci[:K], -1).T,
+        "ml_mm": jnp.where(
+            ml_ok, jnp.minimum(ml_mm_rows, 255), 255).astype(jnp.uint8).T,
+        "ml_rc": jnp.where(ml_ok, (s_key[:K] & 1) != 0, False).T,
     }
 
 
@@ -298,10 +315,11 @@ class AlignEngine:
         return jitted
 
     def launch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
-               cand_cap=None):
+               cand_cap=None, dp=None):
         """Dispatch one batch asynchronously; returns (device dict, dp)."""
         B, L = reads.shape
-        dp = self.params.derive(int(L), self.didx.total_len)
+        if dp is None:
+            dp = self.params.derive(int(L), self.didx.total_len)
         H = int(H or self.params.cand_per_core)
         if cand_cap is None:
             cand_cap = self.params.max_cand_per_strand
@@ -324,11 +342,57 @@ class AlignEngine:
         return out, dp
 
     def align_batch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
-                    cand_cap=None):
+                    cand_cap=None, dp=None):
         """reads: (B, L) int8 host array. Returns host-side result dict."""
-        out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap)
+        out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap, dp=dp)
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         res["derived"] = dp
+        return res
+
+    def _fast_params(self, reads):
+        """FastPassParams for this batch shape, or None (two-level off /
+        not applicable)."""
+        if self.didx.packed is None:
+            return None
+        return self.params.derive_fast(
+            int(reads.shape[1]), self.didx.total_len, self.didx.lut_bases
+        )
+
+    def launch_primary(self, reads: np.ndarray, lengths: np.ndarray):
+        """Dispatch the PRIMARY pass (two-level fast pass when available,
+        classic otherwise) asynchronously.  Pair with finish_primary."""
+        fp = self._fast_params(reads)
+        if fp is None:
+            out, dp = self.launch(reads, lengths)
+        else:
+            out, dp = self.launch(reads, lengths, H=fp.H,
+                                  cand_cap=fp.cand_cap, dp=fp.dp)
+        return (reads, lengths, out, dp, fp)
+
+    def finish_primary(self, state) -> dict:
+        """Device-get a launch_primary dispatch and complete it to the
+        full align_with_rescue semantics: rerun fast-pass-unresolved reads
+        through the classic pass, then the wide rescue pass."""
+        reads, lengths, out, dp, fp = state
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        res["derived"] = dp
+        if fp is None:
+            self.rescue_pass(reads, lengths, res)
+            return res
+        bound = fp.resolved_bound(lengths, self.params.min_edit_dist)
+        resolved = (res["best_mm"].astype(np.int32) <= bound) & (
+            ~res["overflow"]
+        )
+        res["overflow"] = np.zeros_like(res["overflow"])
+        rows = np.nonzero(~resolved)[0]
+        if len(rows):
+            sub_r, sub_l = pad_rows(reads[rows], lengths[rows])
+            sub = self.align_batch(sub_r, sub_l)
+            self.rescue_pass(sub_r, sub_l, sub)
+            for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
+                      "locus", "is_rc", "overflow", "ml_loci", "ml_mm",
+                      "ml_rc"):
+                res[k][rows] = sub[k][: len(rows)]
         return res
 
     def align_stream(self, blocks):
@@ -336,30 +400,34 @@ class AlignEngine:
         transfer/dispatch overlaps device compute (the TPU analogue of the
         reference's loader-thread pipelining, Aligner.cpp:4820,10394).
 
+        Runs the full two-level + rescue flow per block (identical output
+        to align_with_rescue); the fast pass of block i+1 is on device
+        while block i's unresolved tail/rescue reruns dispatch.
+
         blocks: iterator of (reads, lengths); yields host result dicts.
         """
         pending = None
         for reads, lengths in blocks:
-            out, dp = self.launch(reads, lengths)
+            state = self.launch_primary(reads, lengths)
             if pending is not None:
-                p_out, p_dp = pending
-                res = {k: np.array(v) for k, v in jax.device_get(p_out).items()}
-                res["derived"] = p_dp
-                yield res
-            pending = (out, dp)
+                yield self.finish_primary(pending)
+            pending = state
         if pending is not None:
-            p_out, p_dp = pending
-            res = {k: np.array(v) for k, v in jax.device_get(p_out).items()}
-            res["derived"] = p_dp
-            yield res
+            yield self.finish_primary(pending)
 
     def align_with_rescue(self, reads: np.ndarray, lengths: np.ndarray):
         """Primary pass + wider rescue pass for overflowed, unaccepted reads
         (the batched analogue of the reference's progressive sensitivity in
-        CSfxArrayV3::AlignReads, SfxArrayV2.cpp:7663-7760)."""
-        res = self.align_batch(reads, lengths)
-        self.rescue_pass(reads, lengths, res)
-        return res
+        CSfxArrayV3::AlignReads, SfxArrayV2.cpp:7663-7760).
+
+        With params.fast_pass (default) the primary pass is the two-level
+        flow: a LONG-core pass resolves the typical read with an order of
+        magnitude fewer candidates (params.derive_fast documents the
+        exactness proof); unresolved reads rerun through the classic
+        reference-core pass — output-equivalent by construction and
+        regression-tested against the single-level engine
+        (tests/test_two_level.py)."""
+        return self.finish_primary(self.launch_primary(reads, lengths))
 
     def rescue_pass(self, reads: np.ndarray, lengths: np.ndarray,
                     res: dict) -> None:

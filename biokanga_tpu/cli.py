@@ -709,7 +709,14 @@ def cmd_align(argv: list[str]) -> int:
                              int(lens[ri]), res["ml_mm"][ri].copy(),
                              res["ml_rc"][ri].copy())
                         )
-                        mh_loci.append(res["ml_loci"][ri].copy())
+                        # only the tied-best loci are assignment
+                        # candidates (AssignMultiMatches operates on the
+                        # accepted multimatch set, Aligner.cpp:5109);
+                        # rows beyond them are junk-candidate artefacts
+                        cand_row = res["ml_loci"][ri].astype(np.int64)
+                        cand_row[res["ml_mm"][ri]
+                                 != res["best_mm"][ri]] = -1
+                        mh_loci.append(cand_row)
                 write_alignments_sam(
                     out, idx.entry_names, idx.entry_starts,
                     blk.names, blk.codes, blk.lengths, res,

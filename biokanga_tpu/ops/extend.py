@@ -89,7 +89,11 @@ def best_hit_reduce(mm: jax.Array, max_tot_mm: jax.Array, mm_delta: jax.Array):
         "best": best.astype(jnp.uint8),
         "best_idx": best_idx,
         "inst": inst,
-        "next_mm": jnp.minimum(next_mm, MM_INVALID).astype(jnp.uint8),
+        # canonical next_mm: saturated at best + MMDelta (see
+        # align/pipeline.py accept stage for the rationale)
+        "next_mm": jnp.minimum(
+            jnp.minimum(next_mm, best + mm_delta), MM_INVALID
+        ).astype(jnp.uint8),
         "unique": unique,
         "any_hit": any_hit,
     }

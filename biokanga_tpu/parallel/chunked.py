@@ -51,7 +51,8 @@ def merge_chunk_results(
     if K == 1:
         p = dict(partials[0])
         p["locus"] = p["locus"].astype(np.int64) + int(bases[0])
-        p["ml_loci"] = p["ml_loci"].astype(np.int64) + int(bases[0])
+        ml = p["ml_loci"].astype(np.int64)
+        p["ml_loci"] = np.where(ml >= 0, ml + int(bases[0]), -1)
         return p
     best = np.stack([p["best_mm"].astype(np.int32) for p in partials])
     nxt = np.stack([p["next_mm"].astype(np.int32) for p in partials])
@@ -87,6 +88,12 @@ def merge_chunk_results(
     # instances (matches the single-index sorted-duplicates semantics)
     next_star = np.min(np.where(is_best, nxt, best), axis=0)
     next_star = np.where(inst_star >= 2, b_star, next_star)
+    # per-chunk next_mm arrives saturated at chunk_best + MMDelta; the
+    # min-merge then re-saturates at global best + MMDelta — provably
+    # equal to saturate(true union second-best) because chunk bests are
+    # never saturated and any sub-margin union value is sub-margin in its
+    # own chunk (align/pipeline.py accept stage documents the semantics)
+    next_star = np.minimum(next_star, b_star + params.min_edit_dist)
 
     mtm = _max_tot_mm(lengths, params)
     any_hit = b_star <= mtm
@@ -96,7 +103,8 @@ def merge_chunk_results(
     ml_mm = np.concatenate([p["ml_mm"] for p in partials], axis=1)
     ml_rc = np.concatenate([p["ml_rc"] for p in partials], axis=1)
     ml_loc = np.concatenate(
-        [p["ml_loci"].astype(np.int64) + int(bases[k])
+        [np.where(p["ml_loci"] >= 0,
+                  p["ml_loci"].astype(np.int64) + int(bases[k]), -1)
          for k, p in enumerate(partials)],
         axis=1,
     )

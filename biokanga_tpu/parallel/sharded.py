@@ -202,6 +202,10 @@ def build_sharded_align_fn(
         inst_star = jnp.where(b_star >= MM_INVALID, take(inst), inst_star)
         next_star = jnp.min(jnp.where(is_best, nxt, best), axis=0)
         next_star = jnp.where(inst_star >= 2, b_star, next_star)
+        # canonical saturation at best + MMDelta — device twin of the
+        # host merge (parallel/chunked.py merge_chunk_results)
+        next_star = jnp.minimum(
+            next_star, b_star + jnp.int32(ap.min_edit_dist))
 
         if ap.max_subs_per100 == 0:
             mtm = jnp.zeros_like(lengths)
@@ -539,9 +543,9 @@ class ShardedAligner:
         # compose int64 global loci from (chunk, local)
         bases = self.sidx.bases
         res["locus"] = bases[res["chunk"]] + res["locus"].astype(np.int64)
-        res["ml_loci"] = (
-            bases[res["ml_chunk"]] + res["ml_loci"].astype(np.int64)
-        )
+        ml = res["ml_loci"].astype(np.int64)
+        res["ml_loci"] = np.where(
+            ml >= 0, bases[res["ml_chunk"]] + ml, -1)
         return res
 
     def align_extended(self, reads: np.ndarray, lengths: np.ndarray,

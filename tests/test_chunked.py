@@ -38,9 +38,13 @@ def test_chunked_equals_single():
     lengths = np.full(len(reads), 100, np.int32)
     reads, lengths = pad_rows(reads, lengths)
 
-    params = AlignParams(batch_size=len(reads))
-    single = AlignEngine(to_device(build_index(seqs)), params
-                         ).align_with_rescue(reads, lengths)
+    # chunk-merge bit-exactness is asserted in single-level mode (the ml
+    # tail beyond tied-best is only complete there — see the accept-stage
+    # contract in align/pipeline.py); fast_pass equality is covered below
+    # and field-by-field in tests/test_two_level.py
+    params = AlignParams(batch_size=len(reads), fast_pass=False)
+    didx = to_device(build_index(seqs))
+    single = AlignEngine(didx, params).align_with_rescue(reads, lengths)
     ci = build_chunked_index(seqs, num_chunks=3, overlap=256)
     assert ci.num_chunks == 3
     res = ChunkedAligner(ci, params).align(reads, lengths)
@@ -62,6 +66,18 @@ def test_chunked_equals_single():
     # the repeat reads really are multi-hit
     assert (res["inst"][:32] >= 3).all()
     assert res["unique"].sum() > 9000
+
+    # two-level fast pass through the SAME chunked path: scalar fields and
+    # the tied-best ml prefix must match the single-level result exactly
+    pf = AlignParams(batch_size=len(reads), fast_pass=True)
+    resf = ChunkedAligner(ci, pf).align(reads, lengths)
+    for k in ("unique", "any_hit", "best_mm", "next_mm", "inst", "is_rc"):
+        np.testing.assert_array_equal(resf[k], single[k], err_msg=k)
+    np.testing.assert_array_equal(resf["locus"], res["locus"])
+    tied = res["ml_mm"] == res["best_mm"][:, None]
+    np.testing.assert_array_equal(resf["ml_mm"][tied], res["ml_mm"][tied])
+    np.testing.assert_array_equal(resf["ml_loci"][tied],
+                                  res["ml_loci"][tied])
 
 
 def test_chunked_cli_se_pe(tmp_path):
