@@ -95,21 +95,34 @@ class PEAligner:
 
     def _rescue_fn(self, Wlen: int, L: int):
         """Jitted windowed rescue: extend a mate against every locus in a
-        fixed-width window. Wlen = window width in loci."""
-        key = (Wlen, L)
+        fixed-width window. Wlen = window width in loci.
+
+        The packed-genome arrays are jit ARGUMENTS (not closure
+        constants): closed-over device arrays ship inside the compiled
+        program (fatal through a slow remote-compile link at chunk sizes)
+        and would silently pin the didx the fn was first built against —
+        chunked drivers swap engine.didx between chunks."""
+        key = (Wlen, L, self.engine.didx.packed.length,
+               self.engine.didx.packed.has_n)
         if key in self._rescue_jit:
             return self._rescue_jit[key]
-        didx = self.engine.didx
-        packed = didx.packed
+        pk_len = self.engine.didx.packed.length
+        pk_has_n = self.engine.didx.packed.has_n
 
-        def run(win_start, reads, lengths, max_tot_mm):
+        def run(pk_rows, pk_nrows, entry_starts, win_start, reads,
+                lengths, max_tot_mm):
+            from ..ops.extend_packed import PackedGenome
+
+            packed = PackedGenome(
+                rows=pk_rows, n_rows=pk_nrows if pk_has_n else None,
+                length=pk_len)
             # candidates: every offset in [win_start, win_start + Wlen)
             B = reads.shape[0]
             loci = win_start[:, None] + jnp.arange(Wlen, dtype=jnp.int32)
             valid = jnp.ones((B, Wlen), dtype=bool)
             rcodes, rnlane = pack_reads(reads, lengths)
             mm = hamming_extend_packed(
-                packed, didx.entry_starts, loci, valid, rcodes, rnlane, lengths
+                packed, entry_starts, loci, valid, rcodes, rnlane, lengths
             ).astype(jnp.int32)
             best = jnp.min(mm, axis=1)
             bi = jnp.argmin(mm, axis=1).astype(jnp.int32)
@@ -118,9 +131,18 @@ class PEAligner:
             ok = (best <= max_tot_mm) & (inst == 1)
             return {"ok": ok, "locus": locus, "mm": best}
 
-        fn = jax.jit(run)
-        self._rescue_jit[key] = fn
-        return fn
+        inner = jax.jit(run)
+
+        def call(win_start, reads, lengths, max_tot_mm):
+            didx = self.engine.didx
+            pk = didx.packed
+            assert pk.length == pk_len and pk.has_n == pk_has_n
+            return inner(pk.rows, pk.n_rows if pk_has_n else pk.rows,
+                         didx.entry_starts, win_start, reads, lengths,
+                         max_tot_mm)
+
+        self._rescue_jit[key] = call
+        return call
 
     def rescue(self, anchor_loc, anchor_rc, anchor_len, mate_reads,
                mate_lengths, mate_is_rc_of_input: bool):

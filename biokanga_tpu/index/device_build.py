@@ -33,10 +33,16 @@ from ..ops.extend_packed import (
 from .device import MAX_CAND_PER_CORE, DeviceIndex
 
 
-@partial(jax.jit, static_argnames=("lut_bases",))
-def _build_arrays(codes: jax.Array, lut_bases: int):
+@partial(jax.jit, static_argnames=("lut_bases", "with_n"))
+def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True):
     """codes (n,) int8 (N=4) -> (pos_rows, key_hi, key_lo, lut, pk_rows,
-    pk_nrows) — the whole index build as one compiled graph."""
+    pk_nrows) — the whole index build as one compiled graph.
+
+    with_n=False skips the N-plane entirely (pk_nrows=None): callers that
+    know the INTERIOR is N-free and bound validity by the true sequence
+    length (PackedGenome.length) don't need the plane to reject the
+    N-padded tail — and extension then gathers ONE table per candidate
+    instead of two (the big-chunk regime is gather-issue bound)."""
     n = codes.shape[0]
     b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
     is_n = (codes >= 4).astype(jnp.uint32)
@@ -96,7 +102,7 @@ def _build_arrays(codes: jax.Array, lut_bases: int):
         )
 
     pk_rows = overlap_rows(pack_words(bb))
-    pk_nrows = overlap_rows(pack_words(nn))
+    pk_nrows = overlap_rows(pack_words(nn)) if with_n else None
     return pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows
 
 
@@ -106,16 +112,24 @@ def device_build_index(
     lut_bases: int = 12,
     owned: int | None = None,
     device=None,
+    true_len: int | None = None,
 ) -> DeviceIndex:
     """Build a DeviceIndex directly on device from host int8 codes.
 
     Only the codes cross the host->device link; keys/sort/LUT/packed rows
     are computed on-chip.  `owned` sets the genome-range chunk ownership
-    limit (index/chunked.py semantics)."""
+    limit (index/chunked.py semantics).  `true_len` is the real sequence
+    length when `codes` arrives N-padded to a fixed shape (chunk cycling):
+    PackedGenome.length then bounds valid windows, and when the interior
+    [0, true_len) is N-free the N-plane is skipped — one gather per
+    extension candidate instead of two."""
     n = len(codes)
-    codes_d = jax.device_put(np.asarray(codes, np.int8), device)
+    codes_h = np.asarray(codes, np.int8)
+    tl = n if true_len is None else int(true_len)
+    interior_has_n = bool(np.any(codes_h[:tl] >= 4))
+    codes_d = jax.device_put(codes_h, device)
     pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows = _build_arrays(
-        codes_d, lut_bases
+        codes_d, lut_bases, with_n=interior_has_n
     )
     max_bucket = int(jnp.max(jnp.diff(lut)))
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
@@ -130,7 +144,7 @@ def device_build_index(
         lut=lut,
         lut_bases=lut_bases,
         entry_names=[],
-        packed=PackedGenome(rows=pk_rows, n_rows=pk_nrows, length=n),
+        packed=PackedGenome(rows=pk_rows, n_rows=pk_nrows, length=tl),
         max_bsearch_steps=steps,
         owned=None if owned is None else jnp.asarray(np.int32(owned)),
     )
@@ -154,6 +168,7 @@ class DeviceBuildChunkedAligner:
         self.params = params or AlignParams()
         self.lut_bases = lut_bases
         self.device = device
+        self.overlap = overlap
         self.entry_names = [nm for nm, _ in seqs]
         starts = np.zeros(len(seqs) + 1, np.int64)
         for i, (_, s) in enumerate(seqs):
@@ -169,10 +184,38 @@ class DeviceBuildChunkedAligner:
         # pad every chunk to the max slice length so ONE compiled graph
         # serves all chunks (N-pad; see index/chunked.pad_chunk_arrays)
         self.pad_n = (max(p[2] for p in self.plans) // 128 + 1) * 128
+        self._engine = None
 
     @property
     def num_chunks(self) -> int:
         return len(self.plans)
+
+    @property
+    def ci(self):
+        """Duck-typed ChunkedIndex view: exposes bases/num_chunks/
+        entry_starts/entry_names/overlap so the chunk-generic drivers
+        (parallel/chunked.ChunkedPEAligner etc.) run unmodified on
+        device-built chunks."""
+        return self
+
+    def chunk_codes_view(self, k: int) -> np.ndarray:
+        """Host codes of chunk k's owned+overlap slice (for ref-base
+        lookups in SNP finalisation)."""
+        base, _, slice_len = self.plans[k]
+        return self._codes[base : base + slice_len]
+
+    def engine_for(self, k: int):
+        """Build chunk k ON DEVICE and return the shared AlignEngine
+        pointed at it (same contract as ChunkedAligner.engine_for; the
+        compiled graphs are reused because every chunk pads to pad_n)."""
+        from ..align.pipeline import AlignEngine
+
+        didx = self.build_chunk(k)
+        if self._engine is None:
+            self._engine = AlignEngine(didx, self.params)
+        else:
+            self._engine.didx = didx
+        return self._engine
 
     def _chunk_codes(self, k: int):
         base, own, slice_len = self.plans[k]
@@ -184,7 +227,8 @@ class DeviceBuildChunkedAligner:
     def build_chunk(self, k: int) -> DeviceIndex:
         codes, es, own = self._chunk_codes(k)
         return device_build_index(codes, es, self.lut_bases, owned=own,
-                                  device=self.device)
+                                  device=self.device,
+                                  true_len=self.plans[k][2])
 
     def align_blocks(self, blocks, progress=None,
                      checkpoint_dir: str | None = None):

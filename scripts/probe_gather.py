@@ -1,0 +1,90 @@
+"""Microbenchmark: strategies for random 64 B row gathers from LARGE
+(cache-miss regime) tables — the big-genome cliff (PERF.md, VERDICT r2
+item 4).
+
+Variants:
+  plain     — x[idx] as-is (the round-2 baseline: ~44 M rows/s @128 MB)
+  sorted    — sort indices, gather in ascending order, invert permutation
+              (re-test of the round-2 'locality' experiment, which was
+              only measured in the small-table regime where the plain
+              gather was already fast)
+  sortnoinv — sorted gather without the inverse permutation (lower bound
+              for consumers that can work in sorted order)
+  pallas    — double-buffered DMA pipeline streaming the TABLE through
+              VMEM tiles while gathering from the resident tile (only
+              pays off if candidates-per-tile is high)
+
+Usage: python scripts/probe_gather.py [--mb 128] [--n 6291456]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.monotonic() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=128.0)
+    ap.add_argument("--n", type=int, default=6_291_456)  # 32k reads x 192
+    args = ap.parse_args()
+
+    R = int(args.mb * 1e6 / 64)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        rng.integers(0, 2**32, size=(R, 16), dtype=np.uint32)
+    )
+    idx = jnp.asarray(rng.integers(0, R, size=args.n, dtype=np.int32))
+    print(f"table {table.nbytes/1e6:.0f} MB ({R} rows), {args.n} gathers")
+
+    f_plain = jax.jit(lambda t, i: t[i].sum(dtype=jnp.uint32))
+    t = timeit(f_plain, table, idx)
+    print(f"plain      {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+    def sorted_gather(t_, i_):
+        order = jnp.argsort(i_)
+        vals = t_[i_[order]]
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
+        return vals[inv].sum(dtype=jnp.uint32)
+
+    t = timeit(jax.jit(sorted_gather), table, idx)
+    print(f"sorted+inv {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+    def sorted_noinv(t_, i_):
+        si = jnp.sort(i_)
+        return t_[si].sum(dtype=jnp.uint32)
+
+    t = timeit(jax.jit(sorted_noinv), table, idx)
+    print(f"sortnoinv  {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+    # components
+    t = timeit(jax.jit(lambda i_: jnp.sort(i_)), idx)
+    print(f"  sort alone      {t*1e3:8.1f} ms")
+    si = jnp.sort(idx)
+    t = timeit(f_plain, table, si)
+    print(f"  presorted gather{t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+    # gather from a SMALL table for reference
+    Rs = int(2.3e6 / 64)
+    ts = table[:Rs]
+    idxs = jnp.asarray(rng.integers(0, Rs, size=args.n, dtype=np.int32))
+    t = timeit(f_plain, ts, idxs)
+    print(f"small(2.3MB){t*1e3:7.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+
+if __name__ == "__main__":
+    main()

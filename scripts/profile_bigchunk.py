@@ -73,20 +73,33 @@ def main():
 
     reads_d = jnp.asarray(reads)
     lengths_d = jnp.asarray(lengths)
-    arrays = (didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows,
-              didx.lut_bases, didx.max_bsearch_steps)
 
-    f_cand = jax.jit(lambda r: _strand_candidates(arrays, r, dp, H, cap))
-    t, (loci, vmask, ovf) = timeit(f_cand, reads_d)
+    # index arrays MUST be jit arguments, not closure constants — closed-
+    # over device arrays are embedded in the program and shipped through
+    # the tunnel's remote-compile (GBs -> broken pipe)
+    f_cand = jax.jit(
+        lambda kh, kl, lt, pr, r: _strand_candidates(
+            (kh, kl, lt, pr, didx.lut_bases, didx.max_bsearch_steps),
+            r, dp, H, cap))
+    t, (loci, vmask, ovf) = timeit(
+        f_cand, didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows, reads_d)
     nv = np.asarray(vmask).sum(axis=1)
     print(f"candidates (1 strand): {t*1e3:8.1f} ms   "
           f"valid/read mean={nv.mean():.1f} max={nv.max()} "
           f"overflow={np.asarray(ovf).mean():.4f}")
 
     rcodes, rnlane = jax.jit(pack_reads)(reads_d, lengths_d)
-    f_ext = jax.jit(lambda lc, vm, rc, rn, ln: hamming_extend_packed(
-        didx.packed, didx.entry_starts, lc, vm, rc, rn, ln))
-    t, _ = timeit(f_ext, loci, vmask, rcodes, rnlane, lengths_d)
+    from biokanga_tpu.ops.extend_packed import PackedGenome
+    pk = didx.packed
+
+    def ext(rows, nrows, es, lc, vm, rc, rn, ln):
+        return hamming_extend_packed(
+            PackedGenome(rows=rows, n_rows=nrows, length=pk.length),
+            es, lc, vm, rc, rn, ln)
+
+    f_ext = jax.jit(ext)
+    t, _ = timeit(f_ext, pk.rows, pk.n_rows, didx.entry_starts,
+                  loci, vmask, rcodes, rnlane, lengths_d)
     print(f"extension  (1 strand): {t*1e3:8.1f} ms   "
           f"({B * loci.shape[1] / t / 1e6:.0f} M row-gathers/s)")
 
