@@ -320,6 +320,12 @@ class AlignEngine:
         B, L = reads.shape
         if dp is None:
             dp = self.params.derive(int(L), self.didx.total_len)
+        if (self.didx.key_hi.shape[0] == 1
+                and dp.core_len > self.didx.lut_bases):
+            raise ValueError(
+                f"LUT-only index (built with_keys=False) cannot serve "
+                f"core_len {dp.core_len} > lut_bases {self.didx.lut_bases}"
+            )
         H = int(H or self.params.cand_per_core)
         if cand_cap is None:
             cand_cap = self.params.max_cand_per_strand
@@ -393,6 +399,27 @@ class AlignEngine:
                       "locus", "is_rc", "overflow", "ml_loci", "ml_mm",
                       "ml_rc"):
                 res[k][rows] = sub[k][: len(rows)]
+        return res
+
+    def launch_fast(self, reads: np.ndarray, lengths: np.ndarray):
+        """Dispatch ONLY the fast (or classic, if no fast params) pass —
+        no per-chunk unresolved rerun and no rescue.  For chunk-sweep
+        drivers that resolve GLOBALLY: per-chunk fall-through wastes a
+        classic pass on every read whose home is another chunk (~(K-1)/K
+        of the sweep), while the two-level exactness bound only needs the
+        GLOBAL best (parallel/chunked.two_level_chunk_sweep)."""
+        fp = self._fast_params(reads)
+        if fp is None:
+            out, dp = self.launch(reads, lengths)
+        else:
+            out, dp = self.launch(reads, lengths, H=fp.H,
+                                  cand_cap=fp.cand_cap, dp=fp.dp)
+        return (out, dp, fp)
+
+    def finish_fast(self, state) -> dict:
+        out, dp, fp = state
+        res = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        res["derived"] = dp
         return res
 
     def align_stream(self, blocks):

@@ -64,12 +64,14 @@ def pileup_batch(counts, match, mismatch, genome, loci, seqs, lengths, accept):
     )
     posc = jnp.clip(pos, 0, n - 1)
     base = jnp.clip(seqs, 0, 3).astype(jnp.int32)
-    ones = live.astype(jnp.int32)
+    ones = live.astype(counts.dtype)      # planes may be uint16 (chunked)
     counts = counts.at[posc.ravel(), base.ravel()].add(ones.ravel())
     ref = genome[posc]
     is_mm = (base != ref) & live
-    match = match.at[posc.ravel()].add((live & ~is_mm).ravel().astype(jnp.int32))
-    mismatch = mismatch.at[posc.ravel()].add(is_mm.ravel().astype(jnp.int32))
+    match = match.at[posc.ravel()].add(
+        (live & ~is_mm).ravel().astype(match.dtype))
+    mismatch = mismatch.at[posc.ravel()].add(
+        is_mm.ravel().astype(mismatch.dtype))
     return counts, match, mismatch
 
 
@@ -109,23 +111,24 @@ class PileupAccumulator:
         )
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _chunk_candidates(counts, match, mismatch, genome, entry_starts_local,
-                      min_reads, nonref_frac, cap: int):
-    """Device-side SNP candidate compaction for one chunk's local pileup
-    planes: window sums (51 bp, own-locus excluded) + coverage/non-ref
-    filters run on device; only `cap` candidate rows + per-entry
-    match/mismatch totals return to host (the tiled-pileup answer to
-    full-genome (n, 4) planes at 3 Gbp — VERDICT weak #5)."""
+@partial(jax.jit, static_argnames=("cap", "core_lo", "core_hi"))
+def _seg_candidates(counts, match, mismatch, genome, entry_starts_local,
+                    seg_base, min_reads, nonref_frac, cap: int,
+                    core_lo: int, core_hi: int):
+    """_chunk_candidates on ONE flank-extended segment slice: windows use
+    the full slice; candidates and per-entry totals are restricted to the
+    CORE range [core_lo, core_hi) so segment flanks never double-count.
+    Bounds peak HBM at O(segment) instead of O(chunk) — the 250 Mbp-chunk
+    finisher would otherwise hold ~9 slice-sized int32 temporaries
+    (the 3 Gbp-sweep OOM)."""
     n = genome.shape[0]
     flank = C_SNP_BKGND_RATE_WINDOW // 2
-    tot = counts.sum(axis=1)
+    tot = counts.sum(axis=1, dtype=jnp.int32)
     ref = jnp.clip(genome, 0, 3).astype(jnp.int32)
-    refcnt = jnp.take_along_axis(counts, ref[:, None], axis=1)[:, 0]
+    refcnt = jnp.take_along_axis(counts, ref[:, None],
+                                 axis=1)[:, 0].astype(jnp.int32)
     nonref = tot - refcnt
 
-    # int32 window/entry sums: bounded by ~2^31 base observations per
-    # chunk, ample for any per-chunk sweep (device int64 needs x64 mode)
     cs_m = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(match, dtype=jnp.int32)])
     cs_mm = jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -136,21 +139,25 @@ def _chunk_candidates(counts, match, mismatch, genome, entry_starts_local,
     win_m = cs_m[hi] - cs_m[lo]
     win_mm = cs_mm[hi] - cs_mm[lo]
 
+    core = (i >= core_lo) & (i < core_hi)
     cand = (
-        (tot >= min_reads)
+        core
+        & (tot >= min_reads)
         & (nonref >= 1)
         & (nonref >= nonref_frac * tot)
         & (genome < 4)
     )
     idx = jnp.nonzero(cand, size=cap, fill_value=n)[0]
     idc = jnp.clip(idx, 0, n - 1)
-    # per-entry match/mismatch totals (global background rates are
-    # per-chromosome in the reference, Aligner.cpp:6881)
-    ent = jnp.searchsorted(entry_starts_local, i, side="right") - 1
+    # per-entry totals over the core only (entry ids from ABSOLUTE locus)
+    ent = jnp.searchsorted(entry_starts_local, seg_base + i,
+                           side="right") - 1
     E = entry_starts_local.shape[0] - 1
-    ent_m = jnp.zeros(E, jnp.int32).at[jnp.clip(ent, 0, E - 1)].add(match)
+    m_core = jnp.where(core, match, 0)
+    mm_core = jnp.where(core, mismatch, 0)
+    ent_m = jnp.zeros(E, jnp.int32).at[jnp.clip(ent, 0, E - 1)].add(m_core)
     ent_mm = jnp.zeros(E, jnp.int32).at[jnp.clip(ent, 0, E - 1)].add(
-        mismatch)
+        mm_core)
     return (idx, counts[idc], tot[idc], nonref[idc], win_m[idc],
             win_mm[idc], ent_m, ent_mm)
 
@@ -177,10 +184,14 @@ class ChunkedPileup:
         self.ent_mm = None
 
     def start_chunk(self, k: int, pad_n: int):
+        # uint16 planes: 250 Mbp chunk planes cost 3 GB instead of 6 GB
+        # (v5e HBM is 16 GB); per-locus depth beyond 65535 would wrap, far
+        # above any chunk-cycled readset depth (reference MaxHits-style
+        # caps bound pileup depth similarly, Aligner.h)
         assert self._cur is None or self._cur[0] != k
-        counts = jnp.zeros((pad_n, 4), jnp.int32)
-        match = jnp.zeros(pad_n, jnp.int32)
-        mismatch = jnp.zeros(pad_n, jnp.int32)
+        counts = jnp.zeros((pad_n, 4), jnp.uint16)
+        match = jnp.zeros(pad_n, jnp.uint16)
+        mismatch = jnp.zeros(pad_n, jnp.uint16)
         if self._pending_tail is not None:
             tc, tm, tmm = self._pending_tail
             counts = counts.at[: tc.shape[0]].add(jnp.asarray(tc))
@@ -213,26 +224,47 @@ class ChunkedPileup:
                 np.asarray(match[t0:t1]),
                 np.asarray(mismatch[t0:t1]),
             )
-        out = _chunk_candidates(
-            counts, match, mismatch, genome_d,
-            entry_starts_local.astype(jnp.int32)
-            if hasattr(entry_starts_local, "astype")
-            else jnp.asarray(entry_starts_local, jnp.int32),
-            params.min_snp_reads, params.snp_nonref_pcnt, self.cap,
-        )
-        (idx, ccounts, tot, nonref, win_m, win_mm, ent_m, ent_mm) = (
-            np.asarray(a) for a in jax.device_get(out)
-        )
+        es32 = (entry_starts_local.astype(jnp.int32)
+                if hasattr(entry_starts_local, "astype")
+                else jnp.asarray(entry_starts_local, jnp.int32))
+        n_pad = int(counts.shape[0])
         n = int(self.slice_lens[k])
-        keep = (idx < min(own, n))  # candidates only in the owned range
-        for j in np.nonzero(keep)[0]:
-            self.cand_rows.append((
-                int(self.bases[k] + idx[j]), ccounts[j], int(tot[j]),
-                int(nonref[j]), int(win_m[j]), int(win_mm[j]),
-            ))
-        self.ent_m = ent_m if self.ent_m is None else self.ent_m + ent_m
-        self.ent_mm = (ent_mm if self.ent_mm is None
-                       else self.ent_mm + ent_mm)
+        flank = C_SNP_BKGND_RATE_WINDOW // 2
+        SEG = 1 << 25
+        if n_pad <= SEG:
+            segs = [(0, 0, n_pad)]         # (slice_start, core_lo, core_hi)
+            W = n_pad
+        else:
+            W = SEG + 2 * flank
+            segs = []
+            for s0 in range(0, n_pad, SEG):
+                a = min(max(0, s0 - flank), n_pad - W)
+                segs.append((a, s0 - a, min(s0 + SEG, n_pad) - a))
+        ent_m_acc = ent_mm_acc = None
+        for a, clo, chi in segs:
+            out = _seg_candidates(
+                counts[a : a + W], match[a : a + W],
+                mismatch[a : a + W], genome_d[a : a + W], es32,
+                jnp.int32(a), params.min_snp_reads, params.snp_nonref_pcnt,
+                min(self.cap, W), clo, chi,
+            )
+            (idx, ccounts, tot, nonref, win_m, win_mm, ent_m, ent_mm) = (
+                np.asarray(x) for x in jax.device_get(out)
+            )
+            gidx = idx + a
+            keep = (idx < W) & (gidx < min(own, n))
+            for j in np.nonzero(keep)[0]:
+                self.cand_rows.append((
+                    int(self.bases[k] + gidx[j]), ccounts[j], int(tot[j]),
+                    int(nonref[j]), int(win_m[j]), int(win_mm[j]),
+                ))
+            ent_m_acc = ent_m if ent_m_acc is None else ent_m_acc + ent_m
+            ent_mm_acc = (ent_mm if ent_mm_acc is None
+                          else ent_mm_acc + ent_mm)
+        self.ent_m = (ent_m_acc if self.ent_m is None
+                      else self.ent_m + ent_m_acc)
+        self.ent_mm = (ent_mm_acc if self.ent_mm is None
+                       else self.ent_mm + ent_mm_acc)
         self._cur = None
 
     def finalize_calls(self, genome_codes_by_entry, entry_names,

@@ -104,7 +104,6 @@ def one_pass(seqs: list[np.ndarray], min_overlap: int, k: int = 16,
         key = (int(base_q[j]), bool(orient[j]))
         src_count[key] = src_count.get(key, 0) + 1
 
-    merged_into = np.full(n, -1, np.int64)   # target -> query it merges with
     merge_info = {}
     for t in range(n):
         if best_j[t] < 0 or ambiguous[t]:
@@ -113,40 +112,125 @@ def one_pass(seqs: list[np.ndarray], min_overlap: int, k: int = 16,
         key = (int(base_q[j]), bool(orient[j]))
         if src_count.get(key, 0) != 1:
             continue
-        merged_into[t] = base_q[j]
         merge_info[t] = (int(base_q[j]), bool(orient[j]), int(ovl[j]))
+    return _merge_chains(seqs, merge_info)
 
-    # build chains t -> q (q possibly rc), walking only from chain heads
-    # (a sequence that is not itself the extension of some other target);
-    # visited bookkeeping guards against cycles
+
+def _merge_chains(seqs: list[np.ndarray], merge_info: dict):
+    """Walk merge chains t -> q (q possibly rc), starting only from chain
+    heads (sequences that are not themselves the extension of some other
+    target); visited bookkeeping guards against cycles.  merge_info maps
+    target -> (query base index, query-is-rc, overlap_len)."""
+    n = len(seqs)
     out = []
     n_merges = 0
     extension_seqs = {q for (q, _, _) in merge_info.values()}
     visited = np.zeros(n, bool)
-    for t0 in range(n):
-        if visited[t0]:
-            continue
-        if t0 in extension_seqs:
-            continue
-        chain = [t0]
+
+    def walk(t0):
+        nonlocal n_merges
         visited[t0] = True
         cur = t0
         seq = seqs[t0].copy()
         while cur in merge_info:
             q, is_rc, o = merge_info[cur]
             if visited[q]:
-                break  # cycle guard
-            ext = rc_list[q] if is_rc else seqs[q]
+                break  # cycle guard (also closes circular walks)
+            ext = revcomp(seqs[q]) if is_rc else seqs[q]
             seq = np.concatenate([seq, ext[o:]])
             visited[q] = True
             n_merges += 1
             cur = q
         out.append(seq)
-    # any sequence not visited (isolated or part of broken chains)
+
+    for t0 in range(n):
+        if not visited[t0] and t0 not in extension_seqs:
+            walk(t0)
+    # components with NO head are cycles (mutual dovetails — typical of
+    # near-duplicate fragment pairs); start anywhere, the visited guard
+    # stops the wrap-around.  Without this, cyclic components stall the
+    # pass loop at a trickle of merges per pass.
+    for t0 in range(n):
+        if not visited[t0] and t0 in merge_info:
+            walk(t0)
     for i in range(n):
         if not visited[i]:
             out.append(seqs[i])
     return out, n_merges
+
+
+def one_pass_scaled(seqs: list[np.ndarray], min_overlap: int,
+                    k: int = 16, max_subs_per_100: float = 1.0):
+    """one_pass at readset scale over the BIDIRECTED overlap graph:
+    device-batched winner discovery per ORIENTED target (2n targets —
+    assembly/scale_overlap.best_right_extensions), host chain merge with
+    orientation bookkeeping.  Greedy semantics per oriented target match
+    one_pass: longest-overlap winner, overlap ties disqualify, oriented
+    extension sources attach uniquely.  Selected edges are symmetrized
+    with their mirrors (edge T->Q == edge M(Q)->M(T), M = orientation
+    flip) so a middle piece with only outgoing winner edges still joins
+    both of its flanks."""
+    n = len(seqs)
+    if n < 2:
+        return seqs, 0
+    from .scale_overlap import best_right_extensions
+
+    e = best_right_extensions(seqs, min_overlap,
+                              max_subs_per_100=max_subs_per_100, k=k)
+    ok = (e.win_q >= 0) & ~e.ambiguous
+    src, cnt = np.unique(e.win_q[ok], return_counts=True)
+    multi = set(src[cnt > 1].tolist())
+    merge_info = {}      # oriented target -> (oriented query, overlap)
+    sources = set()
+    for t in np.nonzero(ok)[0]:
+        q = int(e.win_q[t])
+        if q in multi:
+            continue
+        merge_info[int(t)] = (q, int(e.win_ov[t]))
+        sources.add(q)
+
+    def M(x):
+        return x - n if x >= n else x + n
+
+    # symmetrize: add mirror edges where they don't conflict
+    for t, (q, ov) in list(merge_info.items()):
+        mt, mq = M(q), M(t)
+        if mt not in merge_info and mq not in sources:
+            merge_info[mt] = (mq, ov)
+            sources.add(mq)
+
+    def oseq(x):
+        return seqs[x] if x < n else revcomp(seqs[x - n])
+
+    phys = np.zeros(n, bool)
+    out = []
+    merges = 0
+
+    def walk(t0):
+        nonlocal merges
+        seq = oseq(t0).copy()
+        phys[t0 % n] = True
+        cur = t0
+        while cur in merge_info:
+            q, ov = merge_info[cur]
+            if phys[q % n]:
+                break
+            seq = np.concatenate([seq, oseq(q)[ov:]])
+            phys[q % n] = True
+            merges += 1
+            cur = q
+        out.append(seq)
+
+    for t0 in range(2 * n):
+        if not phys[t0 % n] and t0 not in sources:
+            walk(t0)
+    for t0 in range(2 * n):          # headless components (cycles)
+        if not phys[t0 % n] and t0 in merge_info:
+            walk(t0)
+    for i in range(n):
+        if not phys[i]:
+            out.append(seqs[i])
+    return out, merges
 
 
 def remove_contained(seqs: list[np.ndarray],
@@ -166,16 +250,30 @@ def remove_contained(seqs: list[np.ndarray],
     # STRICTLY longer one (or an equal-length earlier one)
     from ..align.params import AlignParams
     from ..align.pipeline import AlignEngine, pad_rows
-    from ..index.build import build_index
-    from ..index.device import to_device
 
-    entries = [(f"s{i}", seqs[i]) for i in order]
-    idx = build_index(entries, lut_bases=8)
-    didx = to_device(idx)
+    total = int(lens.sum())
+    starts = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    if total > 32_000_000:
+        # readset scale: suffix-sort on device (host qsort is ~3 min per
+        # 100 Mbp; the device build is seconds — PERF.md)
+        from ..index.device_build import device_build_index
+
+        didx = device_build_index(
+            np.concatenate([seqs[i] for i in order]).astype(np.int8),
+            starts, lut_bases=12,
+        )
+    else:
+        from ..index.build import build_index
+        from ..index.device import to_device
+
+        entries = [(f"s{i}", seqs[i]) for i in order]
+        idx = build_index(entries, lut_bases=8)
+        didx = to_device(idx)
+        starts = idx.entry_starts
     max_mm = max(1, int(max_subs_per_100))
     eng = AlignEngine(didx, AlignParams(max_subs_per100=max(1, int(
         max_subs_per_100)), min_edit_dist=0))
-    starts = idx.entry_starts
     keep = np.ones(len(seqs), bool)
     # probe in blocks of equal padded width
     L = max(len(s) for s in seqs)
@@ -215,23 +313,60 @@ def assemble(
     max_subs_per_100: float = 1.0,
     max_passes: int = 50,
     containment_removal: bool = True,
+    scaled: bool | None = None,
+    progress=None,
 ) -> tuple[list[np.ndarray], AssemblyStats]:
     """Full iterative assembly with the reference's decaying-overlap
     schedule (deNovoAssemb.cpp pass loop), preceded and followed by
     containment removal (redundant reads/contigs fully contained in a
-    longer sequence are dropped)."""
+    longer sequence are dropped).
+
+    scaled=None auto-selects the device-batched pass
+    (assembly/scale_overlap) above 5000 sequences — the readset-scale
+    path; below that the host-verified pass is faster (no device index
+    build per pass)."""
     cur = [s for s in seqs if len(s) >= min_seq_len]
     st = AssemblyStats()
+    # exact-duplicate collapse (the reference marks duplicates in its
+    # packed store before assembly, CKangadna duplicate flags)
+    if cur:
+        seen = set()
+        ded = []
+        for s in cur:
+            key = s.tobytes()
+            krc = revcomp(s).tobytes()
+            if key in seen or krc in seen:
+                continue
+            seen.add(key)
+            ded.append(s)
+        cur = ded
     if containment_removal and cur:
         cur = remove_contained(cur, max_subs_per_100)
     ov = init_overlap
+    removed_at = -1
     while st.passes < max_passes:
         ov_eff = min(ov, min(len(s) for s in cur) - 1) if cur else ov
         ov_eff = max(ov_eff, final_overlap)
-        cur, merges = one_pass(cur, ov_eff, max_subs_per_100=max_subs_per_100)
+        use_scaled = scaled if scaled is not None else len(cur) > 5000
+        if use_scaled:
+            cur, merges = one_pass_scaled(
+                cur, ov_eff, max_subs_per_100=max_subs_per_100)
+        else:
+            cur, merges = one_pass(cur, ov_eff,
+                                   max_subs_per_100=max_subs_per_100)
+        if progress is not None:
+            progress(st.passes, ov_eff, merges, len(cur))
         st.passes += 1
         st.merges += merges
         if merges == 0:
+            # before decaying the threshold, clear contained fragments —
+            # they are what blocks further dovetails (mirrors the
+            # reference's per-pass duplicate/contained sequence culling,
+            # deNovoAssemb.cpp pass loop)
+            if containment_removal and ov != removed_at and cur:
+                cur = remove_contained(cur, max_subs_per_100)
+                removed_at = ov
+                continue
             if ov <= final_overlap:
                 break
             ov = max(final_overlap, int(ov * 2 / 3))

@@ -33,8 +33,9 @@ from ..ops.extend_packed import (
 from .device import MAX_CAND_PER_CORE, DeviceIndex
 
 
-@partial(jax.jit, static_argnames=("lut_bases", "with_n"))
-def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True):
+@partial(jax.jit, static_argnames=("lut_bases", "with_n", "with_keys"))
+def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True,
+                  with_keys: bool = True):
     """codes (n,) int8 (N=4) -> (pos_rows, key_hi, key_lo, lut, pk_rows,
     pk_nrows) — the whole index build as one compiled graph.
 
@@ -42,7 +43,16 @@ def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True):
     know the INTERIOR is N-free and bound validity by the true sequence
     length (PackedGenome.length) don't need the plane to reject the
     N-padded tail — and extension then gathers ONE table per candidate
-    instead of two (the big-chunk regime is gather-issue bound)."""
+    instead of two (the big-chunk regime is gather-issue bound).
+
+    with_keys=False builds a LUT-ONLY index: the suffix order is sorted
+    on the 16-base hi key alone (2-operand sort instead of 3 — the sort
+    is the whole build cost at 250 Mbp) and key arrays are 1-element
+    dummies.  Valid whenever every lookup's core_len <= lut_bases (the
+    LUT fast path answers ranges with two loads and never reads keys,
+    ops/lookup.py); AlignEngine enforces this at dispatch.  Saves ~2 GB
+    HBM per 250 Mbp chunk and ~2x build time — the chunk-cycled
+    big-genome configuration."""
     n = codes.shape[0]
     b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
     is_n = (codes >= 4).astype(jnp.uint32)
@@ -58,26 +68,40 @@ def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True):
     lo = hi[16 : n + 16]
     hi = hi[:n]
 
-    pos = jnp.arange(n, dtype=jnp.int32)
-    key_hi, key_lo, order = jax.lax.sort((hi, lo, pos), dimension=0,
-                                         num_keys=3)
-
-    # LUT: bucket starts by P-base prefix, via batched searchsorted
-    # (bucket 4^P's bound would overflow uint32; it is simply n)
+    # LUT: bucket starts by P-base prefix via scatter-count + cumsum over
+    # the UNSORTED keys (identical to searchsorted over the sorted keys,
+    # one streaming pass instead of 4^P binary searches)
     P = lut_bases
-    bounds = (jnp.arange(4**P, dtype=jnp.uint32)
-              << jnp.uint32(32 - 2 * P))
+    bucket = (hi >> jnp.uint32(32 - 2 * P)).astype(jnp.int32)
+    cnt = jnp.zeros(4**P, jnp.int32).at[bucket].add(1)
     lut = jnp.concatenate([
-        jnp.searchsorted(key_hi, bounds, side="left").astype(jnp.int32),
-        jnp.full((1,), n, jnp.int32),
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(cnt, dtype=jnp.int32),
     ])
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    if with_keys:
+        key_hi, key_lo, order = jax.lax.sort((hi, lo, pos), dimension=0,
+                                             num_keys=3)
+    else:
+        key_hi, order = jax.lax.sort((hi, pos), dimension=0, num_keys=1)
+        key_hi = key_hi[:1]
+        key_lo = key_hi
 
     # tail-padded row layout for aligned candidate gathers
     pad = MAX_CAND_PER_CORE + (-(n + MAX_CAND_PER_CORE) % 64)
     pos_padded = jnp.concatenate([order, jnp.zeros(pad, jnp.int32)])
     pos_rows = pos_padded.reshape(-1, 64)
 
-    # packed 2-bit overlapping rows (ops/extend_packed.pack_genome on device)
+    pk_rows, pk_nrows = _packed_rows(b, is_n, with_n)
+    return pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows
+
+
+def _packed_rows(b, is_n, with_n: bool):
+    """Packed 2-bit overlapping rows (ops/extend_packed.pack_genome on
+    device) — traced helper shared by the full build and the packed-only
+    build."""
+    n = b.shape[0]
     n_words = 8 * (n // ROW_STRIDE_BASES + PAD_ROWS)
     total = n_words * BASES_PER_WORD
     bb = jnp.concatenate([b, jnp.zeros(total - n, jnp.uint32)])
@@ -103,7 +127,16 @@ def _build_arrays(codes: jax.Array, lut_bases: int, with_n: bool = True):
 
     pk_rows = overlap_rows(pack_words(bb))
     pk_nrows = overlap_rows(pack_words(nn)) if with_n else None
-    return pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows
+    return pk_rows, pk_nrows
+
+
+@partial(jax.jit, static_argnames=("with_n",))
+def _pack_only(codes: jax.Array, with_n: bool = True):
+    """Packed rows alone — no suffix sort, no LUT (PE windowed rescue and
+    SNP pileup consume just these)."""
+    b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
+    is_n = (codes >= 4).astype(jnp.uint32)
+    return _packed_rows(b, is_n, with_n)
 
 
 def device_build_index(
@@ -113,6 +146,7 @@ def device_build_index(
     owned: int | None = None,
     device=None,
     true_len: int | None = None,
+    with_keys: bool = True,
 ) -> DeviceIndex:
     """Build a DeviceIndex directly on device from host int8 codes.
 
@@ -129,7 +163,7 @@ def device_build_index(
     interior_has_n = bool(np.any(codes_h[:tl] >= 4))
     codes_d = jax.device_put(codes_h, device)
     pos_rows, key_hi, key_lo, lut, pk_rows, pk_nrows = _build_arrays(
-        codes_d, lut_bases, with_n=interior_has_n
+        codes_d, lut_bases, with_n=interior_has_n, with_keys=with_keys
     )
     max_bucket = int(jnp.max(jnp.diff(lut)))
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
@@ -162,12 +196,17 @@ class DeviceBuildChunkedAligner:
     def __init__(self, seqs: list[tuple[str, np.ndarray]],
                  params: AlignParams | None = None,
                  max_chunk: int = 256_000_000, overlap: int = 2048,
-                 lut_bases: int = 12, device=None):
+                 lut_bases: int = 12, device=None,
+                 with_keys: bool | None = None):
         from .chunked import plan_chunks
 
         self.params = params or AlignParams()
         self.lut_bases = lut_bases
         self.device = device
+        # LUT-only chunks (no key arrays) whenever the classic core ladder
+        # fits inside the LUT prefix — ~2x faster chunk builds and ~2 GB
+        # less HBM each; AlignEngine.launch rejects any deeper core
+        self.with_keys = with_keys
         self.overlap = overlap
         self.entry_names = [nm for nm, _ in seqs]
         starts = np.zeros(len(seqs) + 1, np.int64)
@@ -224,11 +263,52 @@ class DeviceBuildChunkedAligner:
         es = np.clip(self.entry_starts - base, 0, slice_len)
         return codes, es.astype(np.int64), own
 
+    def _auto_with_keys(self) -> bool:
+        if self.with_keys is not None:
+            return self.with_keys
+        # keys are only read when a lookup's core exceeds the LUT prefix.
+        # classic core_len = max(ladder, read_len // (max_tot_mm + delta))
+        # and the read-length term is <= ~10 for any subs_per100 >= 10, so
+        # lut_bases >= 13 >= ladder covers every dispatch of the
+        # big-genome chunk configs; smaller LUTs (or exact-match mode,
+        # whose core is the whole read) keep the key arrays.  The
+        # AlignEngine.launch guard catches any residual mismatch.
+        from ..align.params import min_core_len
+
+        if self.params.max_subs_per100 == 0:
+            return True
+        delta = 1 if self.params.min_edit_dist == 1 else 2
+        read_term = max(
+            L // (min(max(1, int(0.5 + L * self.params.max_subs_per100
+                              / 100.0)), 63) + delta)
+            for L in range(20, 4097)
+        )
+        need = max(min_core_len(self.pad_n, self.params.mode),
+                   min(read_term, 32))
+        return need > self.lut_bases
+
     def build_chunk(self, k: int) -> DeviceIndex:
         codes, es, own = self._chunk_codes(k)
         return device_build_index(codes, es, self.lut_bases, owned=own,
                                   device=self.device,
-                                  true_len=self.plans[k][2])
+                                  true_len=self.plans[k][2],
+                                  with_keys=self._auto_with_keys())
+
+    def packed_chunk(self, k: int):
+        """Packed rows + genome codes + local entry starts for chunk k
+        WITHOUT the suffix sort — all that PE windowed rescue and SNP
+        pileup need.  Orders of magnitude cheaper than build_chunk (no
+        250M-element sort)."""
+        from ..ops.extend_packed import PackedGenome
+
+        codes, es, own = self._chunk_codes(k)
+        codes_d = jax.device_put(codes, self.device)
+        pk_rows, pk_nrows = _pack_only(
+            codes_d, with_n=bool(np.any(codes[: self.plans[k][2]] >= 4))
+        )
+        return codes_d, PackedGenome(
+            rows=pk_rows, n_rows=pk_nrows, length=self.plans[k][2]
+        ), es
 
     def align_blocks(self, blocks, progress=None,
                      checkpoint_dir: str | None = None):

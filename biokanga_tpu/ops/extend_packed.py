@@ -212,3 +212,55 @@ def hamming_extend_packed(
     return jnp.where(valid, jnp.minimum(mm, MM_INVALID - 1), MM_INVALID).astype(
         jnp.uint8
     )
+
+
+def hamming_extend_packed_win(
+    pg: PackedGenome,
+    entry_starts: jax.Array,   # (E+1,) int32
+    loci: jax.Array,           # (B, C) int32
+    valid: jax.Array,          # (B, C) bool
+    rcodes: jax.Array,         # (B, W) uint32 packed read code words
+    rnlane: jax.Array,         # (B, W) uint32 packed read N-plane words
+    win: jax.Array,            # (B, C) int32 PER-CANDIDATE window length
+):
+    """hamming_extend_packed with a PER-CANDIDATE compare window: counts
+    mismatches over the first win[b, c] bases of read b vs the genome at
+    loci[b, c].  Built for suffix-prefix overlap verification (assembly):
+    each candidate dovetail has its own overlap length.  Windows are
+    additionally bounded by the packed read width; the candidate must lie
+    within one entry over its whole window (the concatenated-reads
+    "genome" separates reads as entries, so cross-read windows are
+    rejected exactly like cross-chromosome alignments).
+
+    Returns (B, C) int32 mismatch counts, MM_WIN_INVALID (2^30) where
+    masked — int32 because long-window counts exceed uint8."""
+    B, C = loci.shape
+    W = rcodes.shape[1]
+    n = pg.length
+
+    starts32 = entry_starts.astype(jnp.int32)
+    win = jnp.clip(win, 0, W * BASES_PER_WORD)
+    last = loci + win - 1
+    ent_a = jnp.searchsorted(starts32, loci, side="right") - 1
+    ent_b = jnp.searchsorted(starts32, last, side="right") - 1
+    valid = valid & (loci >= 0) & (last < n) & (ent_a == ent_b) & (win > 0)
+
+    gwin = gather_window_words(pg.rows, loci, W)  # (B, C, W)
+    x = gwin ^ rcodes[:, None, :]
+    x = x | rnlane[:, None, :]
+    if pg.n_rows is not None:
+        x = x | gather_window_words(pg.n_rows, loci, W)
+    lanes = (x | (x >> 1)) & jnp.uint32(0x55555555)
+
+    # per-candidate lane mask: word j keeps clamp(win - 16j, 0, 16) lanes
+    wb = jnp.arange(W, dtype=jnp.int32) * 16
+    v = jnp.clip(win[..., None] - wb[None, None, :], 0, 16).astype(jnp.uint32)
+    lane_mask = jnp.where(
+        v == 0,
+        jnp.uint32(0),
+        (jnp.uint32(0x55555555) << (jnp.uint32(2) * (jnp.uint32(16) - v)))
+        & jnp.uint32(0xFFFFFFFF),
+    )  # (B, C, W)
+    lanes = lanes & lane_mask
+    mm = jnp.sum(jax.lax.population_count(lanes), axis=-1, dtype=jnp.int32)
+    return jnp.where(valid, mm, jnp.int32(1) << 30)

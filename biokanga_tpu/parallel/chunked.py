@@ -406,3 +406,135 @@ class ChunkedAligner:
             res["derived"] = per_block[b][0].get("derived")
             out.append(res)
         return out
+
+
+def two_level_chunk_sweep(ca, blocks, checkpoint_dir=None, progress=None):
+    """Chunk sweep with GLOBAL two-level resolution.
+
+    Cycle 1 dispatches only the FAST pass per (chunk, block) —
+    double-buffered, checkpointed.  The per-chunk fall-through
+    (AlignEngine.finish_primary) would rerun the classic pass for every
+    read whose home is a different chunk (~(K-1)/K of all dispatches);
+    but the two-level exactness bound (align/params.derive_fast) only
+    requires the GLOBAL best: every chunk's fast pass discovers all of
+    its hits with mm <= n_cores-1, so after the exact merge a read with
+    merged best <= n_cores - MMDelta and no overflow is fully resolved.
+    Only the (typically tiny) unresolved remainder makes a second,
+    classic+rescue cycle over the chunks.
+
+    `ca` is a DeviceBuildChunkedAligner-style driver (num_chunks,
+    engine_for, bases, params, entry-pad-uniform chunks).  Returns
+    merged result dicts per block (int64 global loci).
+    """
+    params = ca.params
+    bases = ca.bases
+    K = ca.num_chunks
+    ckpt = None
+    if checkpoint_dir:
+        from ..utils.checkpoint import SweepCheckpoint, config_signature
+
+        sig = config_signature(
+            ["two_level_fast", bases, params,
+             [(r.shape, int(l.sum())) for r, l in blocks]]
+        )
+        ckpt = SweepCheckpoint(checkpoint_dir, sig)
+
+    per_block: list[list[dict]] = [[] for _ in blocks]
+    fps = [None] * len(blocks)
+    engine = None
+    for k in range(K):
+        need = [b for b in range(len(blocks))
+                if ckpt is None or not ckpt.has(k, b)]
+        if need:
+            engine = ca.engine_for(k)
+        pend = None
+        for b in need:
+            st = engine.launch_fast(*blocks[b])
+            fps[b] = st[2]
+            if pend is not None:
+                bp, sp = pend
+                res = engine.finish_fast(sp)
+                if ckpt is not None:
+                    ckpt.save(k, bp, res)
+                per_block[bp].append(res)
+            pend = (b, st)
+        if pend is not None:
+            bp, sp = pend
+            res = engine.finish_fast(sp)
+            if ckpt is not None:
+                ckpt.save(k, bp, res)
+            per_block[bp].append(res)
+        for b in range(len(blocks)):
+            if ckpt is not None and b not in need:
+                per_block[b].append(ckpt.load(k, b))
+        if progress is not None:
+            progress("fast", k)
+
+    merged = []
+    unresolved = []  # (block, rows)
+    for b, (reads, lengths) in enumerate(blocks):
+        res = merge_chunk_results(per_block[b], bases, lengths, params)
+        res["derived"] = per_block[b][0].get("derived")
+        merged.append(res)
+        fp = fps[b]
+        if fp is None:
+            fp = ca.params.derive_fast(
+                int(reads.shape[1]),
+                int(ca.pad_n) if hasattr(ca, "pad_n") else 0,
+                ca.lut_bases,
+            )
+        if fp is None:
+            rows = np.nonzero(res["overflow"])[0]
+        else:
+            bound = fp.resolved_bound(lengths, params.min_edit_dist)
+            resolved = (res["best_mm"].astype(np.int32) <= bound) & (
+                ~res["overflow"]
+            )
+            rows = np.nonzero(~resolved)[0]
+        if len(rows):
+            unresolved.append((b, rows))
+
+    if unresolved:
+        from ..align.pipeline import pad_rows
+
+        sub_reads = np.concatenate(
+            [blocks[b][0][rows] for b, rows in unresolved]
+        )
+        sub_lens = np.concatenate(
+            [blocks[b][1][rows] for b, rows in unresolved]
+        )
+        CH = 512
+        M = len(sub_reads)
+        pad = -M % CH
+        if pad:
+            sub_reads = np.concatenate(
+                [sub_reads, np.full((pad, sub_reads.shape[1]), 4,
+                                    sub_reads.dtype)]
+            )
+            sub_lens = np.concatenate([sub_lens,
+                                       np.zeros(pad, sub_lens.dtype)])
+        partials = []
+        for k in range(K):
+            engine = ca.engine_for(k)
+            parts = []
+            for s in range(0, len(sub_reads), CH):
+                r, l = pad_rows(sub_reads[s : s + CH],
+                                sub_lens[s : s + CH])
+                sub = engine.align_batch(r, l)
+                engine.rescue_pass(r, l, sub)
+                parts.append(sub)
+            partials.append(
+                {key: np.concatenate([p[key] for p in parts])
+                 for key in parts[0] if key != "derived"}
+            )
+            if progress is not None:
+                progress("classic", k)
+        sub_merged = merge_chunk_results(partials, bases, sub_lens, params)
+        ofs = 0
+        for b, rows in unresolved:
+            for key in ("unique", "any_hit", "best_mm", "next_mm", "inst",
+                        "locus", "is_rc", "overflow", "ml_loci", "ml_mm",
+                        "ml_rc"):
+                merged[b][key][rows] = sub_merged[key][ofs: ofs + len(rows)]
+            ofs += len(rows)
+    return merged

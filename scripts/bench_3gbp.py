@@ -54,6 +54,7 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from biokanga_tpu.align.params import AlignParams
     from biokanga_tpu.align.pe import PEAligner, PEParams, classify_pairs
@@ -96,52 +97,20 @@ def main() -> None:
             blocks.append(pad_rows(mat[i : i + B], lens[i : i + B]))
     nb = len(blocks) // 2
 
-    # ---- sweep 1: SE align every block vs every chunk (timed) ----------
+    # ---- sweep 1: GLOBAL two-level — fast pass per (chunk, block),
+    # classic cycle only for globally-unresolved reads ------------------
+    from biokanga_tpu.parallel.chunked import two_level_chunk_sweep
+
     t0 = time.monotonic()
-    build_s = []
-    per_block = [[] for _ in blocks]
-    engine = None
-    from biokanga_tpu.utils.checkpoint import SweepCheckpoint, config_signature
-    ckpt = None
-    if args.checkpoint:
-        sig = config_signature([ca.bases, params, args.lut_bases,
-                                [(r.shape, int(l.sum())) for r, l in blocks]])
-        ckpt = SweepCheckpoint(args.checkpoint, sig)
-    for k in range(ca.num_chunks):
-        need = [b for b in range(len(blocks))
-                if ckpt is None or not ckpt.has(k, b)]
-        if need:
-            tb = time.monotonic()
-            engine = ca.engine_for(k)
-            jax.block_until_ready(engine.didx.key_hi)
-            build_s.append(time.monotonic() - tb)
-        # double-buffered: one batch in flight while the previous finishes
-        pending = None
-        for b in need:
-            reads, lengths = blocks[b]
-            state = engine.launch_primary(reads, lengths)
-            if pending is not None:
-                bp, sp = pending
-                res = engine.finish_primary(sp)
-                if ckpt is not None:
-                    ckpt.save(k, bp, res)
-                per_block[bp].append(res)
-            pending = (b, state)
-        if pending is not None:
-            bp, sp = pending
-            res = engine.finish_primary(sp)
-            if ckpt is not None:
-                ckpt.save(k, bp, res)
-            per_block[bp].append(res)
-        for b in range(len(blocks)):
-            if ckpt is not None and b not in need:
-                per_block[b].append(ckpt.load(k, b))
-        print(f"chunk {k + 1}/{ca.num_chunks} done "
+
+    def prog(phase, k):
+        print(f"{phase} chunk {k + 1}/{ca.num_chunks} "
               f"({time.monotonic() - t0:.0f}s)", flush=True)
-    merged = []
-    for b, (reads, lengths) in enumerate(blocks):
-        merged.append(merge_chunk_results(per_block[b], ca.bases, lengths,
-                                          params))
+
+    merged = two_level_chunk_sweep(ca, blocks,
+                                   checkpoint_dir=args.checkpoint,
+                                   progress=prog)
+    build_s = []
     t_sweep = time.monotonic() - t0
 
     # ---- PE classify + orphan rescue grouped by anchor chunk -----------
@@ -166,9 +135,17 @@ def main() -> None:
                 orphan_rows.setdefault(int(k), []).extend(
                     (pb, int(r), which) for r in rows[ak == k])
     n_rescued = 0
+    from types import SimpleNamespace
     for k, items in sorted(orphan_rows.items()):
-        engine = ca.engine_for(k)
-        pea = PEAligner(engine, pe)
+        # windowed rescue needs only the packed rows — no suffix sort
+        codes_d, pg, es_k = ca.packed_chunk(k)
+        shim = SimpleNamespace(
+            didx=SimpleNamespace(packed=pg,
+                                 entry_starts=jnp.asarray(
+                                     es_k.astype(np.int32))),
+            params=params,
+        )
+        pea = PEAligner(shim, pe)
         a_loc = np.empty(len(items), np.int64)
         a_rc = np.empty(len(items), bool)
         m_reads = np.full((len(items), L), 4, np.int8)
@@ -254,12 +231,26 @@ def main() -> None:
         },
     }
 
+    print(json.dumps(out), flush=True)          # crash-safe partial row
+    with open(os.path.join(REPO, "BENCH_3G.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
     # ---- chunked SNP calling (second sweep) -----------------------------
     if not args.skip_snps:
         from biokanga_tpu.align.snp import (ChunkedPileup, SNPParams,
                                             write_snps_csv)
 
         t2 = time.monotonic()
+        # pileup needs ONLY the chunk's genome codes — drop every live
+        # reference to the resident index (engine/pea didx ~3.7 GB) and
+        # upload codes per chunk (v5e HBM is 16 GB; index + planes
+        # together OOM'd)
+        ca._engine = None
+        engine = None
+        try:
+            del pea
+        except NameError:
+            pass
         sp = SNPParams()
         cp = ChunkedPileup(
             ca.bases, [p[2] for p in ca.plans],
@@ -268,8 +259,9 @@ def main() -> None:
         all_blocks = blocks
         all_res = res1 + res2
         for k in range(ca.num_chunks):
-            engine = ca.engine_for(k)
-            pad_n = int(engine.didx.genome.shape[0])
+            codes_k, es_k, own_k = ca._chunk_codes(k)
+            genome_d = jax.device_put(codes_k)
+            pad_n = int(genome_d.shape[0])
             cp.start_chunk(k, pad_n)
             esl = np.clip(ca.entry_starts - ca.bases[k], 0,
                           ca.plans[k][2])
@@ -285,10 +277,11 @@ def main() -> None:
                 for i in np.nonzero(res["is_rc"] & acc)[0]:
                     L0 = int(lens_b[i])
                     aligned[i, :L0] = revcomp(codes_b[i, :L0])
-                cp.add_batch(engine.didx.genome,
+                cp.add_batch(genome_d,
                              (res["locus"] - ca.bases[k]).astype(np.int64),
                              aligned, lens_b, acc)
-            cp.finish_chunk(engine.didx.genome, esl, sp)
+            cp.finish_chunk(genome_d, esl, sp)
+            del genome_d
             print(f"snp chunk {k + 1}/{ca.num_chunks}", flush=True)
 
         def ref_base(e, loci):
