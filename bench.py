@@ -31,6 +31,10 @@ HBM_PEAK_BYTES_PER_S = 819e9  # TPU v5e spec sheet
 def main() -> None:
     import jax
 
+    from biokanga_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from biokanga_tpu.align.params import AlignParams
     from biokanga_tpu.align.pe import PEAligner, PEParams
     from biokanga_tpu.align.pipeline import AlignEngine

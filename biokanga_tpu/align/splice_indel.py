@@ -203,9 +203,13 @@ def splice_scan(
     sufc = jnp.where(valid[..., None] & okseg[:, None, :], -Cm, _BIG)
     # D[b, c5, c3] = min_s pref[b, c5, s] + sufc[b, c3, s]
     D = jnp.min(pref[:, :, None, :] + sufc[:, None, :, :], axis=-1)
-    Ssplit = jnp.argmin(
-        pref[:, :, None, :] + sufc[:, None, :, :], axis=-1
-    ).astype(jnp.int32)
+    # among equal-mismatch splits take the RIGHTMOST (maximal 5' exon) —
+    # the reference's junction canonicalisation when flanking bases make
+    # the split ambiguous (LocateSpliceJuncts, SfxArrayV2.cpp:7022;
+    # measured: its SAM places every ambiguous junction at max split)
+    Ssplit = (jnp.int32(L) - jnp.argmin(
+        (pref[:, :, None, :] + sufc[:, None, :, :])[..., ::-1], axis=-1
+    )).astype(jnp.int32)
     mm_pair = D + T[:, None, :]
 
     sep = loci[:, None, :] - loci[:, :, None]   # d3 - d5

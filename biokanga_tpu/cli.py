@@ -627,6 +627,20 @@ def cmd_align(argv: list[str]) -> int:
         prio = PriorityRegionFilter(args.priorityregionbed,
                                     idx.entry_names, idx.entry_starts)
     stats = AlignStats()
+    ckpt = None
+    if args.checkpoint_dir:
+        # per-block resumability for LONG single-index runs (the chunked
+        # path already checkpoints per (chunk, block)); post-passes are
+        # deterministic in (codes, lens, res) and replay on resume
+        from .utils.checkpoint import SweepCheckpoint, config_signature
+
+        ckpt = SweepCheckpoint(
+            args.checkpoint_dir,
+            config_signature(["se_single", args.sfx, params,
+                              list(args.inreads), args.batch_size,
+                              args.trim5, args.trim3]),
+        )
+    blk_i = 0
     mh_loci, mh_rows = [], []   # pending multi-hit reads for assignment
     uq_loci, uq_lens = [], []
     n_total = n_unique = n_multi = n_none = 0
@@ -642,10 +656,15 @@ def cmd_align(argv: list[str]) -> int:
                         blk.lengths - args.trim5 - args.trim3, 0, None
                     )
                 codes, lens = pad_rows(blk.codes, blk.lengths)
-                if ext is not None:
+                if ckpt is not None and ckpt.has(0, blk_i):
+                    res = ckpt.load(0, blk_i)
+                elif ext is not None:
                     res = ext.align(codes, lens)
                 else:
                     res = engine.align_with_rescue(codes, lens)
+                if ckpt is not None and not ckpt.has(0, blk_i):
+                    ckpt.save(0, blk_i, res)
+                blk_i += 1
                 if args.min_accept_len:
                     res["unique"] &= lens >= args.min_accept_len
                 if args.minchimericlen:
@@ -1558,11 +1577,13 @@ def cmd_ecreads(argv):
     p.add_argument("--min-seed-votes", type=int, default=8)
     p.add_argument("--sw-band", type=int, default=96)
     p.add_argument("--min-score", type=int, default=60)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable per-group correction checkpoints")
     p.add_argument("-F", "--log", default=None)
     args = p.parse_args(argv)
     log = open_diagnostics(args.log)
     sw = StopWatch()
-    from .pacbio.ecreads import ECParams, ec_reads
+    from .pacbio.ecreads import ECParams, ec_reads, ec_reads_checkpointed
     from .seq.fasta import read_seqs, write_fasta
 
     names, reads = [], []
@@ -1570,11 +1591,14 @@ def cmd_ecreads(argv):
         for r in read_seqs(path):
             names.append(r.name)
             reads.append(r.codes)
-    corrected, stats = ec_reads(
-        reads,
-        ECParams(seed_len=args.seed_len, min_seed_votes=args.min_seed_votes,
-                 sw_band=args.sw_band, min_overlap_score=args.min_score),
-    )
+    ecp = ECParams(seed_len=args.seed_len,
+                   min_seed_votes=args.min_seed_votes,
+                   sw_band=args.sw_band, min_overlap_score=args.min_score)
+    if args.checkpoint_dir:
+        corrected, stats = ec_reads_checkpointed(
+            reads, ecp, checkpoint_dir=args.checkpoint_dir)
+    else:
+        corrected, stats = ec_reads(reads, ecp)
     write_fasta(args.out, zip(names, corrected))
     log.info("ecreads: %d reads, %d overlaps used, %.1fs",
              stats["reads"], stats["overlaps_used"], sw.elapsed())
@@ -2861,6 +2885,9 @@ def main(argv: list[str] | None = None) -> int:
     if cmd not in SUBCOMMANDS:
         print(f"unknown subcommand '{cmd}'", file=sys.stderr)
         return 2
+    from .utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     return SUBCOMMANDS[cmd](argv[1:])
 
 

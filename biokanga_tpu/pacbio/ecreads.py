@@ -49,8 +49,8 @@ class ECParams:
     sw_chunk_bytes: int = 1 << 30  # traceback-plane budget per dispatch
 
 
-def _pad_reads(reads: list[np.ndarray]):
-    L = max(len(r) for r in reads)
+def _pad_reads(reads: list[np.ndarray], pad_to: int | None = None):
+    L = pad_to or max(len(r) for r in reads)
     L = -(-L // 64) * 64
     arr = np.full((len(reads), L), 4, np.int8)
     lens = np.zeros(len(reads), np.int32)
@@ -98,12 +98,18 @@ def _seed_all(key_hi, key_lo, lut, pos_rows, probes, k, H, stride, S,
     return pos, valid
 
 
-def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams):
-    """Vectorised candidate clustering for ALL probes at once.
+def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
+                                  probe_gids=None, n_reads_total=None):
+    """Vectorised candidate clustering for a batch of probes.
 
     Returns (pair_probe, pair_entry, pair_diag) host arrays — one row per
     accepted (probe, target entry) overlap candidate, at most
-    p.max_targets per probe, ordered by descending seed votes."""
+    p.max_targets per probe, ordered by descending seed votes.
+
+    probe_gids/n_reads_total: when probes are a SUBSET of the indexed
+    read set (checkpoint groups), the global read id of each probe and
+    the total read count — needed to drop self-overlaps (entry g and its
+    rc copy g + n_reads_total both belong to probe with global id g)."""
     N, L = probes.shape
     k = p.seed_len
     offsets = tuple(range(0, L - k + 1, p.seed_stride))
@@ -139,10 +145,13 @@ def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams):
     c_ent = (uk >> 24) % E
     c_diag = dsum // cnt
 
-    # drop self-overlaps (entry i and its rc copy i+n map to probe i)
-    n = N
+    # drop self-overlaps (entry g and its rc copy g+n map to the probe
+    # whose GLOBAL read id is g)
+    n = N if n_reads_total is None else int(n_reads_total)
+    gids = (np.arange(N, dtype=np.int64) if probe_gids is None
+            else np.asarray(probe_gids, np.int64))
     base_ent = c_ent % n
-    ok = base_ent != c_probe
+    ok = base_ent != gids[c_probe]
     c_probe, c_ent, c_diag, cnt = (c_probe[ok], c_ent[ok], c_diag[ok],
                                    cnt[ok])
     # top max_targets per probe by votes
@@ -207,16 +216,82 @@ def ec_reads(
     """Correct every read against the others (fully batched; see module
     docstring). Returns (corrected, stats)."""
     p = params or ECParams()
-    n = len(reads)
     entries = [(f"r{i}", s) for i, s in enumerate(reads)]
     entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
     idx = build_index(entries, lut_bases=8)
     didx = to_device(idx)
-    probes, plens = _pad_reads(reads)
+    return _correct_probes(reads, entries, idx, didx, reads, p)
+
+
+def ec_reads_checkpointed(
+    reads: list[np.ndarray],
+    params: ECParams | None = None,
+    checkpoint_dir: str | None = None,
+    group: int = 128,
+) -> tuple[list[np.ndarray], dict]:
+    """ec_reads in resumable probe GROUPS: each group of `group` probes
+    is corrected against the full read set and persisted as one atomic
+    cell (utils/checkpoint.SweepCheckpoint); a killed multi-hour EC run
+    resumes at the first missing group.  The reference restarts EC from
+    zero on any crash (SURVEY §5: no in-process checkpointing; BKS only
+    re-queues in-flight jobs on provider loss, BKScommon.h:22-24)."""
+    from ..utils.checkpoint import SweepCheckpoint, config_signature
+
+    p = params or ECParams()
+    ckpt = None
+    if checkpoint_dir:
+        sig = config_signature(
+            ["ecreads", len(reads),
+             [int(len(r)) for r in reads[:64]], p, group]
+        )
+        ckpt = SweepCheckpoint(checkpoint_dir, sig)
+    entries = [(f"r{i}", s) for i, s in enumerate(reads)]
+    entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
+    idx = build_index(entries, lut_bases=8)
+    didx = to_device(idx)
+    corrected: list[np.ndarray] = []
+    overlaps = 0
+    for g0 in range(0, len(reads), group):
+        gi = g0 // group
+        rows = list(range(g0, min(g0 + group, len(reads))))
+        if ckpt is not None and ckpt.has(0, gi):
+            z = ckpt.load(0, gi)
+            lens = z["lengths"]
+            flat = z["flat"]
+            ofs = 0
+            for L in lens:
+                corrected.append(flat[ofs : ofs + int(L)].astype(np.int8))
+                ofs += int(L)
+            overlaps += int(z["overlaps"])
+            continue
+        sub, st = _correct_probes([reads[i] for i in rows], entries, idx,
+                                  didx, reads, p, probe_gids=rows)
+        if ckpt is not None:
+            ckpt.save(0, gi, {
+                "lengths": np.asarray([len(c) for c in sub], np.int64),
+                "flat": (np.concatenate(sub) if sub
+                         else np.zeros(0, np.int8)),
+                "overlaps": np.int64(st["overlaps_used"]),
+            })
+        corrected.extend(sub)
+        overlaps += st["overlaps_used"]
+    return corrected, {"reads": len(reads), "overlaps_used": overlaps}
+
+
+def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
+                    probe_gids=None):
+    """Correct `probe_reads` against the prebuilt all-reads index.
+
+    Probes pad to the GLOBAL max read length so every checkpoint group
+    compiles to one shape."""
+    n = len(probe_reads)
+    probes, plens = _pad_reads(probe_reads,
+                               pad_to=max(len(r) for r in all_reads))
     N, La = probes.shape
 
     c_probe, c_ent, c_diag = find_overlap_candidates_batch(
-        didx, idx, probes, plens, p
+        didx, idx, probes, plens, p,
+        probe_gids=probe_gids, n_reads_total=len(all_reads),
     )
     P = len(c_probe)
 
@@ -289,3 +364,4 @@ def ec_reads(
             out.append(int(ins_b[i, L]))
         corrected.append(np.array(out, np.int8))
     return corrected, {"reads": n, "overlaps_used": n_pairs_used}
+

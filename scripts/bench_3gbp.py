@@ -56,6 +56,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from biokanga_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from biokanga_tpu.align.params import AlignParams
     from biokanga_tpu.align.pe import PEAligner, PEParams, classify_pairs
     from biokanga_tpu.align.pipeline import pad_rows

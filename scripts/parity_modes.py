@@ -111,14 +111,22 @@ def mode_splice(tmp, nreads):
     rng = np.random.default_rng(7)
     L = 100
     names, rows = [], []
-    n_sp = nreads
-    for i in range(n_sp):
-        split = int(rng.integers(30, L - 30))        # >=30bp each exon
+    # reads share a pool of junctions (>= 2 reads each) — the reference
+    # REMOVES orphan splice junctions unsupported by >= 2 reads
+    # (RemoveOrphanSpliceJuncts, biokanga/Aligner.cpp), so per-read
+    # unique junctions would be 100% culled on its side
+    n_junc = max(1, nreads // 16)
+    juncs = []
+    for _ in range(n_junc):
         gap = int(rng.integers(100, 50_000))
-        a0 = int(rng.integers(0, len(codes) - (L + gap) - 1))
-        b0 = a0 + split + gap
-        read = np.concatenate([codes[a0 : a0 + split],
-                               codes[b0 : b0 + (L - split)]])
+        J = int(rng.integers(L + 1, len(codes) - (L + gap) - 1))
+        juncs.append((J, gap))
+    for i in range(nreads):
+        J, gap = juncs[int(rng.integers(n_junc))]
+        split = int(rng.integers(30, L - 30))        # >=30bp each exon
+        a0 = J - split
+        b0 = J + gap
+        read = np.concatenate([codes[a0:J], codes[b0 : b0 + (L - split)]])
         names.append(
             f"lcl|splice|{i:08d}|chr1|{a0 + 1}|{b0 + (L - split)}|{L}"
             f"|+|{split}|{gap}"
@@ -245,7 +253,14 @@ def main():
     ap.add_argument("modes", nargs="*", default=list(MODES))
     ap.add_argument("--outdir", default="/tmp/parity_modes")
     ap.add_argument("--nreads", type=int, default=8192)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend (agreement is "
+                    "backend-independent; frees the chip for benches)")
     a = ap.parse_args()
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(a.outdir, exist_ok=True)
     results = []
     for m in (a.modes or list(MODES)):
