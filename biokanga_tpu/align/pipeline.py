@@ -128,7 +128,13 @@ def _strand_candidates(
     # SfxArrayV2.h:15-16); sort + neighbour-mask is the batched equivalent.
     # Sort along the MAJOR axis (candidates) with reads vectorised across
     # lanes — minor-axis sort is cross-lane and an order of magnitude slower.
-    srt_t = jax.lax.sort(flat.T, dimension=0)     # (S*H, B)
+    # Pallas columnwise bitonic kernel when shapes allow (one HBM round
+    # trip instead of ~log^2(C) lax.sort network passes, ops/pallas_sort);
+    # exact lax.sort fallback otherwise.
+    from ..ops.pallas_sort import pad_pow2_rows, sort_cols
+
+    ft = flat.T                                   # (S*H, B)
+    srt_t = sort_cols(pad_pow2_rows(ft, _I32_MAX))[: ft.shape[0]]
     srt = srt_t.T
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), srt[:, 1:] == srt[:, :-1]], axis=1
@@ -216,9 +222,12 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
         rc_col = jnp.full((1, Ctot), int(strand == "antisense"),
                           jnp.int32)
     key = mm_all.astype(jnp.int32) * 2 + rc_col
-    s_key, s_loci = jax.lax.sort(
-        (key.T, loci_all.T), dimension=0, num_keys=2
-    )
+    from ..ops.pallas_sort import pad_pow2_rows, sort2_cols
+
+    kt, lt = key.T, loci_all.T                    # (Ctot, B)
+    s_key, s_loci = sort2_cols(pad_pow2_rows(kt, _I32_MAX),
+                               pad_pow2_rows(lt, _I32_MAX))
+    s_key, s_loci = s_key[: kt.shape[0]], s_loci[: kt.shape[0]]
     best = s_key[0] >> 1
     is_rc_hit = (s_key[0] & 1).astype(jnp.bool_)
     locus = s_loci[0]

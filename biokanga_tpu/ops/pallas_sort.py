@@ -76,9 +76,11 @@ def _stage(x, y, size: int, stride: int, row):
     else:
         py = None
         gt = x > px
-    # keep the smaller iff (ascending == is-lower-partner-slot)
+    # keep the smaller iff (ascending == is-lower-partner-slot);
+    # select(ws, gt, ~gt) == (gt == ws) — bool-select doesn't lower in
+    # Mosaic (i8->i1 trunci), the equality does
     want_small = up == lo
-    swap = jnp.where(want_small, gt, ~gt)
+    swap = gt == want_small
     # tie (x == px, and y == py): swap is False both sides — stable no-op
     nx = jnp.where(swap, px, x)
     ny = None if y is None else jnp.where(swap, py, y)
@@ -104,6 +106,10 @@ def _sort2_kernel(k_ref, v_ref, ok_ref, ov_ref, *, C: int):
 
 
 def _kernel_ok(C: int, B: int) -> bool:
+    import os
+
+    if os.environ.get("BIOKANGA_TPU_PALLAS_SORT", "1") in ("0", "off"):
+        return False
     return (
         C & (C - 1) == 0
         and 2 <= C <= MAX_C
