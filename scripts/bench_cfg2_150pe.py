@@ -116,10 +116,8 @@ def main():
 
     # truth check on mate 1
     t1 = truths[0::2]
-    correct = 0
-    for i in range(n):
-        if uniq[i] and loci1[i] == t1[i].locus:
-            correct += 1
+    starts = np.array([t.start - 1 for t in t1], np.int64)[: n]
+    correct = int((uniq & (loci1 == starts)).sum())
     ours_ins = {"n": int(len(ins)), "mean": round(float(ins.mean()), 2),
                 "std": round(float(ins.std()), 2),
                 "p5": int(np.percentile(ins, 5)),
