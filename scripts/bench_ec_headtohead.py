@@ -1,0 +1,170 @@
+"""Head-to-head PacBio error correction: ours vs refbuild/bin/pacbiokanga
+on the SAME reads with a REALISTIC PacBio error profile (VERDICT r2 item 7).
+
+The first attempt (scripts/bench_ec_ref.py) used the BENCH_EC generator's
+40%-substitution error mix; the reference's SW scoring (mismatch penalty
+25, PBErrCorrect defaults) is tuned for real PacBio CLR errors, which are
+~90% indels — it classified ~all overlaps as 500bp-window artifacts and
+corrected 0 reads.  This bench therefore simulates the error process the
+reference was designed for: total error rate --err with mix
+10% substitution / 60% insertion / 30% deletion (PacBio CLR-like), and
+runs BOTH correctors on the identical FASTA.
+
+Stages (so the CPU reference row and the TPU ours row can run in
+parallel and be merged):
+  --stage gen    write pb.fa + truth.npz
+  --stage ref    run reference pacbiokanga ecreads -T2, score, write ref.json
+  --stage ours   run biokanga_tpu ec_reads on the chip, score, write ours.json
+  --stage score  merge ref.json + ours.json -> one JSON line
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+REF_BIN = os.path.join(REPO, "refbuild", "bin", "pacbiokanga")
+
+from bench_ecreads import kmer_recovery, kmer_set  # noqa: E402
+
+
+def gen_reads(n_reads, L, genome_kb, err, seed=3):
+    """PacBio CLR-like errors: of all error events, 10% are substitutions,
+    60% insertions, 30% deletions (the indel-dominated profile the
+    reference's PBErrCorrect SW defaults assume, pacbiokanga
+    PBErrCorrect.cpp default match/mismatch/gap scoring)."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_kb * 1000, dtype=np.int8)
+    reads, truths = [], []
+    for _ in range(n_reads):
+        st = int(rng.integers(0, len(genome) - L))
+        w = genome[st : st + L].copy()
+        truths.append(w.copy())
+        r = []
+        for b in w:
+            x = rng.random()
+            if x < err * 0.1:
+                r.append((b + rng.integers(1, 4)) % 4)
+            elif x < err * 0.7:
+                r.append(b)
+                r.append(rng.integers(0, 4))
+            elif x < err:
+                continue
+            else:
+                r.append(b)
+        reads.append(np.array(r, np.int8))
+    return reads, truths
+
+
+def load(dirpath):
+    z = np.load(os.path.join(dirpath, "truth.npz"), allow_pickle=True)
+    return list(z["reads"]), list(z["truths"])
+
+
+def score(reads, truths, corrected_by_idx):
+    pre = post = 0.0
+    n_out = 0
+    for i in range(len(reads)):
+        tk = kmer_set(truths[i])
+        pre += kmer_recovery(reads[i], tk)
+        cs = corrected_by_idx.get(i, [])
+        if cs:
+            n_out += 1
+            post += max(kmer_recovery(c, tk) for c in cs)
+    return (round(pre / len(reads), 4),
+            round(post / max(n_out, 1), 4), n_out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True,
+                    choices=["gen", "ref", "ours", "score"])
+    ap.add_argument("--reads", type=int, default=500)
+    ap.add_argument("--read-len", type=int, default=10_000)
+    ap.add_argument("--genome-kb", type=int, default=200)
+    ap.add_argument("--err", type=float, default=0.12)
+    ap.add_argument("--dir", default="/tmp/bench_ec_h2h")
+    a = ap.parse_args()
+    os.makedirs(a.dir, exist_ok=True)
+
+    from biokanga_tpu.seq.fasta import read_seqs, write_fasta
+
+    if a.stage == "gen":
+        reads, truths = gen_reads(a.reads, a.read_len, a.genome_kb, a.err)
+        write_fasta(os.path.join(a.dir, "pb.fa"),
+                    ((f"read{i:06d}", r) for i, r in enumerate(reads)))
+        np.savez(os.path.join(a.dir, "truth.npz"),
+                 reads=np.array(reads, object),
+                 truths=np.array(truths, object))
+        print(json.dumps({"stage": "gen", "n": a.reads,
+                          "mean_len": float(np.mean([len(r) for r in reads]))}))
+        return
+
+    reads, truths = load(a.dir)
+
+    if a.stage == "ref":
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [REF_BIN, "ecreads", "-i", "pb.fa", "-o", "corr.fa",
+             "-l", "500", "-S", "500", "-b", "500", "-T2", "-F", "ec.log"],
+            cwd=a.dir, capture_output=True, text=True, timeout=14400,
+        )
+        dt = time.monotonic() - t0
+        out = {"seconds_T2": round(dt, 1), "returncode": r.returncode}
+        if r.returncode == 0:
+            corr = {}
+            for rec in read_seqs(os.path.join(a.dir, "corr.fa")):
+                for tok in rec.name.replace("|", " ").split():
+                    if tok.startswith("read"):
+                        corr.setdefault(int(tok[4:10]), []).append(rec.codes)
+                        break
+            pre, post, n_out = score(reads, truths, corr)
+            out.update(pre=pre, post=post, n_reads_corrected_out=n_out)
+        else:
+            out["err"] = (r.stdout + r.stderr)[-500:]
+        with open(os.path.join(a.dir, "ref.json"), "w") as f:
+            json.dump(out, f)
+        print(json.dumps({"stage": "ref", **out}))
+        return
+
+    if a.stage == "ours":
+        from biokanga_tpu.pacbio.ecreads import ECParams, ec_reads
+
+        t0 = time.monotonic()
+        corrected, stats = ec_reads(reads, ECParams())
+        dt = time.monotonic() - t0
+        corr = {i: [corrected[i]] for i in range(len(corrected))
+                if len(corrected[i])}
+        pre, post, n_out = score(reads, truths, corr)
+        out = {"seconds_1chip": round(dt, 1), "pre": pre, "post": post,
+               "n_reads_corrected_out": n_out}
+        with open(os.path.join(a.dir, "ours.json"), "w") as f:
+            json.dump(out, f)
+        print(json.dumps({"stage": "ours", **out}))
+        return
+
+    ref = json.load(open(os.path.join(a.dir, "ref.json")))
+    ours = json.load(open(os.path.join(a.dir, "ours.json")))
+    print(json.dumps({
+        "metric": "pacbio_ec_headtohead_kmer32_recovery",
+        "value": ours.get("post"),
+        "unit": "frac",
+        "detail": {
+            "error_profile": "PacBio CLR-like: 10% sub / 60% ins / 30% del",
+            "err_rate": a.err, "n_reads": a.reads,
+            "read_len": a.read_len, "genome_kb": a.genome_kb,
+            "ours": ours, "reference_T2": ref,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
