@@ -28,6 +28,62 @@ REFERENCE_READS_PER_SEC_32CORE_PROJ = 416_000.0  # 16 x the 2-thread SE row
 HBM_PEAK_BYTES_PER_S = 819e9  # TPU v5e spec sheet
 
 
+def measure_sam_parity(n_reads: int = 16384, genome_bp: int = 500_000):
+    """Live SAM-equality measurement against the rebuilt reference binary
+    (VERDICT r3 weak-3: the old hardcoded 100.0 read as a per-run
+    measurement).  Runs reference simreads -> index -> align and our CLI
+    align on the same reads, scores (chrom, pos, strand, CIGAR, mapped)
+    per QNAME.  Returns (pct | None, n_scored)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref_bin = os.path.join(repo, "refbuild", "bin", "biokanga")
+    if not os.path.exists(ref_bin):
+        return None, 0
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from sam_parity import compare, load_sam
+
+    from biokanga_tpu.cli import main as cli_main
+    from biokanga_tpu.sim.simreads import random_genome
+
+    with tempfile.TemporaryDirectory() as tmp:
+        seqs = random_genome([("chr1", genome_bp)], seed=11)
+        with open(os.path.join(tmp, "g.fa"), "w") as f:
+            for name, codes in seqs:
+                f.write(f">{name}\n")
+                s = "".join("ACGTN"[c] for c in codes)
+                for i in range(0, len(s), 70):
+                    f.write(s[i: i + 70] + "\n")
+
+        def run(args):
+            r = subprocess.run([ref_bin] + args, cwd=tmp,
+                               capture_output=True, text=True, timeout=600)
+            if r.returncode != 0:
+                raise RuntimeError(r.stdout + r.stderr)
+
+        run(["index", "-i", "g.fa", "-o", "g.sfx", "-r", "t", "-T2"])
+        run(["simreads", "-m0", "-M3", "-n", str(n_reads), "-l", "100",
+             "-z", "0.01", "-g3", "-i", "g.fa", "-o", "reads.fa"])
+        run(["align", "-i", "reads.fa", "-I", "g.sfx", "-o", "ref.sam",
+             "-M5", "-T2"])
+        if cli_main(["index", "-i", os.path.join(tmp, "g.fa"), "-o",
+                     os.path.join(tmp, "g.npz")]) != 0:
+            return None, 0
+        if cli_main(["align", "-i", os.path.join(tmp, "reads.fa"), "-I",
+                     os.path.join(tmp, "g.npz"), "-o",
+                     os.path.join(tmp, "ours.sam")]) != 0:
+            return None, 0
+        ref = load_sam(os.path.join(tmp, "ref.sam"))
+        ours = load_sam(os.path.join(tmp, "ours.sam"))
+        cats = compare(ref, ours)
+        n = sum(v for k, v in cats.items() if k != "extra_in_ours")
+        agree = cats["exact_match"] + cats["both_unmapped"]
+        return round(100.0 * agree / max(n, 1), 3), n
+
+
 def main() -> None:
     import jax
 
@@ -44,7 +100,8 @@ def main() -> None:
 
     genome_len = 4_600_000
     read_len = 100
-    batch = 32768  # measured sweet spot on v5e with the fused-sort graph
+    batch = 65536  # round-4 sweep: 65k beats 32k/131k through the tunnel
+    #                (PERF.md round-4 section); uploads are 2-bit packed
     n_reads = 8 * batch  # divisible: one compiled shape, no ragged tail
     epochs = 4  # report the best epoch: the tunneled chip's throughput
     #             fluctuates ~2x run-to-run; min-time is the real capability
@@ -127,6 +184,12 @@ def main() -> None:
         pe_dt = min(pe_dt, time.monotonic() - t0)
     pe_rps = 2 * n_pairs / pe_dt  # reads/s, matching the reference row
 
+    # ---- live SAM parity vs the rebuilt reference binary ----
+    try:
+        sam_parity_pct, sam_parity_n = measure_sam_parity()
+    except Exception:
+        sam_parity_pct, sam_parity_n = None, 0
+
     print(
         json.dumps(
             {
@@ -143,7 +206,8 @@ def main() -> None:
                     "vs_32core_server_projection": round(
                         rps / REFERENCE_READS_PER_SEC_32CORE_PROJ, 3
                     ),
-                    "sam_parity_pct": 100.0,  # measured, BASELINE.md
+                    "sam_parity_pct": sam_parity_pct,
+                    "sam_parity_n": sam_parity_n,
                     "genome_bp": genome_len,
                     "read_len": read_len,
                     "n_reads": n_reads,

@@ -40,6 +40,48 @@ from .params import AlignParams, DerivedParams
 _I32_MAX = np.int32(2**31 - 1)
 
 
+def _host_pack_2bit(reads: np.ndarray):
+    """Host-side 2-bit pack of a (B, L) int8 code batch for upload.
+
+    The axon tunnel's host->device bandwidth (PERF.md) makes raw int8
+    read uploads the bottleneck of the whole aligner (one 32k x 100 bp
+    batch = 3.3 MB ~ 100 ms, longer than the 70 ms align graph), so the
+    host packs 4 bases/byte plus an N bitmap and the device graph
+    unpacks — a 2.7-4x upload reduction.  Returns (codes2 uint8
+    (B, ceil(L/4)), nmask uint8 (B, ceil(L/8)) | None), or None when the
+    batch holds codes > 4 (colorspace etc.) and must upload raw.
+    """
+    if reads.size == 0 or reads.max(initial=0) > 4:
+        return None
+    isn = reads == 4
+    c = np.where(isn, 0, reads).astype(np.uint8)
+    B, L = c.shape
+    lp = -(-L // 4) * 4
+    if lp != L:
+        c = np.pad(c, ((0, 0), (0, lp - L)))
+    c = c.reshape(B, lp // 4, 4)
+    codes2 = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+              | (c[:, :, 3] << 6)).astype(np.uint8)
+    nmask = None
+    if isn.any():
+        nmask = np.packbits(isn, axis=-1, bitorder="little")
+    return codes2, nmask
+
+
+def _device_unpack_2bit(codes2: jax.Array, nmask, L: int) -> jax.Array:
+    """Inverse of _host_pack_2bit, traced into the align graph (fuses
+    into the first consumer; negligible vs the gather stages)."""
+    B = codes2.shape[0]
+    shifts = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    c = ((codes2[:, :, None] >> shifts) & 3).reshape(B, -1)[:, :L]
+    c = c.astype(jnp.int8)
+    if nmask is not None:
+        bits = (nmask[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        isn = bits.reshape(B, -1)[:, :L]
+        c = jnp.where(isn.astype(bool), jnp.int8(4), c)
+    return c
+
+
 def _rc_reads(reads: jax.Array, lengths: jax.Array,
               uniform: bool = False) -> jax.Array:
     """Per-read reverse complement keeping padding at the tail.
@@ -280,13 +322,15 @@ class AlignEngine:
         self._jitted = {}
 
     def _fn(self, dp: DerivedParams, H: int, strand: str, use_packed: bool,
-            cand_cap: int, uniform: bool):
+            cand_cap: int, uniform: bool, upload: str = "raw",
+            read_len: int = 0):
         has_owned = self.didx.owned is not None
         pk0 = self.didx.packed if use_packed else None
         key = (dp, H, strand, use_packed, cand_cap, uniform, has_owned,
                pk0.length if pk0 is not None else 0,
                pk0 is not None and pk0.has_n,
-               self.didx.lut_bases, self.didx.max_bsearch_steps)
+               self.didx.lut_bases, self.didx.max_bsearch_steps,
+               upload, read_len)
         if key in self._jitted:
             return self._jitted[key]
         didx = self.didx
@@ -305,6 +349,10 @@ class AlignEngine:
             from ..ops.extend_packed import PackedGenome
             owned = packed = None
             rest = list(rest)
+            if upload == "p2":
+                reads = _device_unpack_2bit(reads, None, read_len)
+            elif upload == "p2n":
+                reads = _device_unpack_2bit(reads, rest.pop(0), read_len)
             if has_owned:
                 owned = rest.pop(0)
             if use_packed:
@@ -340,13 +388,23 @@ class AlignEngine:
             cand_cap = self.params.max_cand_per_strand
         use_packed = self.didx.packed is not None and L <= MAX_PACKED_READ_LEN
         uniform = bool(np.all(lengths == L))
+        packed_up = _host_pack_2bit(np.asarray(reads))
+        if packed_up is None:
+            upload, up_args = "raw", (jnp.asarray(reads),)
+        else:
+            codes2, nmask = packed_up
+            if nmask is None:
+                upload, up_args = "p2", (jnp.asarray(codes2),)
+            else:
+                upload = "p2n"
+                up_args = (jnp.asarray(codes2), jnp.asarray(nmask))
         fn = self._fn(dp, H, self.params.strand, use_packed, int(cand_cap),
-                      uniform)
+                      uniform, upload=upload, read_len=int(L))
         d = self.didx
         args = (
             d.genome, d.entry_starts, d.pos_rows, d.key_hi, d.key_lo, d.lut,
-            jnp.asarray(reads), jnp.asarray(lengths),
-        )
+            up_args[0], jnp.asarray(lengths),
+        ) + up_args[1:]
         if d.owned is not None:
             args = args + (d.owned,)
         if use_packed:
