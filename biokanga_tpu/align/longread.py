@@ -66,31 +66,43 @@ class LongReadAligner:
 
     def _align_segments(self, segs, seg_lens):
         eng = self._eng["sense"]
-        out = []
         B = 4096
-        for i in range(0, len(segs), B):
-            r, l = pad_rows(segs[i : i + B], seg_lens[i : i + B])
-            out.append(eng.align_with_rescue(r, l))
+        blocks = (pad_rows(segs[i: i + B], seg_lens[i: i + B])
+                  for i in range(0, len(segs), B))
+        out = list(eng.align_stream(blocks))  # double-buffered dispatch
         return {k: np.concatenate([o[k] for o in out])[: len(segs)]
                 for k in ("unique", "best_mm", "locus", "any_hit")}
 
     def _verify_at(self, segs, seg_lens, loci):
         """Mismatch count of each segment at a FIXED locus (one packed
-        gather per segment)."""
+        gather per segment); chunked so arbitrarily many (read, segment)
+        verifications dispatch as a few fixed-shape batches."""
         import jax.numpy as jnp
 
         from ..ops.extend_packed import hamming_extend_packed
 
         pg = self.didx.packed
-        rcodes, rnlane = pack_reads(jnp.asarray(segs),
-                                    jnp.asarray(seg_lens))
-        mm = hamming_extend_packed(
-            pg, self.didx.entry_starts,
-            jnp.asarray(loci.astype(np.int32))[:, None],
-            jnp.ones((len(segs), 1), bool), rcodes, rnlane,
-            jnp.asarray(seg_lens),
-        )
-        return np.asarray(mm)[:, 0].astype(np.int64)
+        CH = 8192
+        out = np.empty(len(segs), np.int64)
+        for i in range(0, len(segs), CH):
+            s = segs[i: i + CH]
+            sl = seg_lens[i: i + CH]
+            lo = loci[i: i + CH]
+            pad = -len(s) % min(CH, 256)
+            if pad:
+                s = np.concatenate(
+                    [s, np.full((pad, s.shape[1]), 4, s.dtype)])
+                sl = np.concatenate([sl, np.zeros(pad, sl.dtype)])
+                lo = np.concatenate([lo, np.zeros(pad, lo.dtype)])
+            rcodes, rnlane = pack_reads(jnp.asarray(s), jnp.asarray(sl))
+            mm = hamming_extend_packed(
+                pg, self.didx.entry_starts,
+                jnp.asarray(lo.astype(np.int32))[:, None],
+                jnp.ones((len(s), 1), bool), rcodes, rnlane,
+                jnp.asarray(sl),
+            )
+            out[i: i + CH] = np.asarray(mm)[: len(out) - i, 0]
+        return out
 
     def align(self, reads: np.ndarray, lengths: np.ndarray) -> dict:
         """Returns per-read dict: unique, locus, is_rc, best_mm."""
@@ -114,10 +126,14 @@ class LongReadAligner:
         }
         for is_rc in (False, True):
             if is_rc:
-                cur = np.full_like(reads, 4)
-                for i in range(B):
-                    Lr = int(lengths[i])
-                    cur[i, :Lr] = revcomp(reads[i, :Lr])
+                # batched revcomp with per-row left-roll (same dataflow as
+                # pipeline._rc_reads, on host)
+                flipped = reads[:, ::-1]
+                rc = np.where(flipped >= 4, flipped,
+                              3 - flipped).astype(reads.dtype)
+                col = ((np.arange(L, dtype=np.int64)[None, :]
+                        + (L - lengths.astype(np.int64))[:, None]) % L)
+                cur = rc[np.arange(B)[:, None], col]
             else:
                 cur = reads
             segs, seg_lens, offs, S = _segment(cur, lengths, self.seg)
@@ -125,26 +141,36 @@ class LongReadAligner:
             valid = (seg_lens >= MIN_SEG)
             diag = np.where(res["unique"] & valid,
                             res["locus"].astype(np.int64) - offs, -1)
-            diag_m = diag.reshape(B, S)
-            for b in range(B):
-                d = diag_m[b][diag_m[b] >= 0]
-                nv = int(valid.reshape(B, S)[b].sum())
-                if len(d) == 0 or nv == 0:
-                    continue
-                vals, cnts = np.unique(d, return_counts=True)
-                d_star = int(vals[np.argmax(cnts)])
-                votes = int(cnts.max())
-                if votes * 2 < nv:      # no majority diagonal
-                    continue
-                rows = np.arange(b * S, (b + 1) * S)
-                rows = rows[valid[rows]]
-                mm = self._verify_at(segs[rows], seg_lens[rows],
-                                     d_star + offs[rows])
-                total = int(mm.sum())
-                if total <= budget[b] and total < out["best_mm"][b]:
-                    out["unique"][b] = True
-                    out["locus"][b] = d_star
-                    out["is_rc"][b] = is_rc
-                    out["best_mm"][b] = total
+            # vectorised per-read majority diagonal (VERDICT r3 weak-6:
+            # the per-read np.unique loop capped batch size): sort each
+            # row, run-length the equal runs, take the longest run
+            sd = np.sort(diag.reshape(B, S), axis=1)   # -1s sort first
+            new = np.ones((B, S), bool)
+            new[:, 1:] = sd[:, 1:] != sd[:, :-1]
+            pos = np.arange(S, dtype=np.int64)
+            run_start = np.maximum.accumulate(
+                np.where(new, pos[None, :], 0), axis=1)
+            run_len = np.where(sd >= 0, pos[None, :] - run_start + 1, 0)
+            best_pos = np.argmax(run_len, axis=1)      # end of longest run
+            votes = run_len[np.arange(B), best_pos]
+            d_star = sd[np.arange(B), best_pos]
+            nv = valid.reshape(B, S).sum(axis=1)
+            cand = (votes > 0) & (nv > 0) & (votes * 2 >= nv)
+            if not cand.any():
+                continue
+            # ONE batched verification over every valid segment of every
+            # candidate read at its majority diagonal
+            valid_m = valid.reshape(B, S)
+            bsel, ssel = np.nonzero(valid_m & cand[:, None])
+            rows = bsel * S + ssel
+            mm = self._verify_at(segs[rows], seg_lens[rows],
+                                 d_star[bsel] + offs[rows])
+            total = np.zeros(B, np.int64)
+            np.add.at(total, bsel, mm)
+            acc = cand & (total <= budget) & (total < out["best_mm"])
+            out["unique"][acc] = True
+            out["locus"][acc] = d_star[acc]
+            out["is_rc"][acc] = is_rc
+            out["best_mm"][acc] = total[acc]
         out["best_mm"][~out["unique"]] = -1
         return out

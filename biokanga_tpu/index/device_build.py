@@ -224,6 +224,7 @@ class DeviceBuildChunkedAligner:
         # serves all chunks (N-pad; see index/chunked.pad_chunk_arrays)
         self.pad_n = (max(p[2] for p in self.plans) // 128 + 1) * 128
         self._engine = None
+        self.build_s: list[float] = []  # wall per engine_for chunk build
 
     @property
     def num_chunks(self) -> int:
@@ -247,9 +248,14 @@ class DeviceBuildChunkedAligner:
         """Build chunk k ON DEVICE and return the shared AlignEngine
         pointed at it (same contract as ChunkedAligner.engine_for; the
         compiled graphs are reused because every chunk pads to pad_n)."""
+        import time as _time
+
         from ..align.pipeline import AlignEngine
 
+        t0 = _time.monotonic()
         didx = self.build_chunk(k)
+        jax.block_until_ready(didx.pos_rows)
+        self.build_s.append(_time.monotonic() - t0)
         if self._engine is None:
             self._engine = AlignEngine(didx, self.params)
         else:

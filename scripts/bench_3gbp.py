@@ -114,7 +114,7 @@ def main() -> None:
     merged = two_level_chunk_sweep(ca, blocks,
                                    checkpoint_dir=args.checkpoint,
                                    progress=prog)
-    build_s = []
+    build_s = list(getattr(ca, "build_s", []))  # per engine_for build
     t_sweep = time.monotonic() - t0
 
     # ---- PE classify + orphan rescue grouped by anchor chunk -----------

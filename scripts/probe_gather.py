@@ -85,6 +85,45 @@ def main():
     t = timeit(f_plain, ts, idxs)
     print(f"small(2.3MB){t*1e3:7.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
 
+    # partitioned: sort once, then scan static sub-table slices small
+    # enough that XLA gathers them at the small-table rate.  Per-slice
+    # candidate segments are padded to a static cap P (overflow would be
+    # handled by the classic path; with uniform loci P = 2x mean never
+    # overflows in practice — the probe reports the overflow count).
+    n_ = args.n
+    for sub_mb in (2, 4, 8):
+        T = max(1, int(args.mb / sub_mb))
+        while R % T:
+            T -= 1
+        Rs_p = R // T
+        P = int(2.0 * n_ / T + 1023) & ~1023
+
+        def partitioned(t_, i_):
+            si = jnp.sort(i_)
+            bounds = jnp.searchsorted(
+                si, jnp.arange(T + 1, dtype=jnp.int32) * Rs_p)
+            offs = bounds[:-1]
+            cnt = bounds[1:] - offs
+            over = jnp.maximum(cnt - P, 0).sum()
+
+            def body(carry, k):
+                acc = carry
+                sl = jax.lax.dynamic_slice(t_, (k * Rs_p, 0), (Rs_p, 16))
+                pos = jnp.clip(offs[k] + jnp.arange(P), 0, n_ - 1)
+                li = jnp.clip(si[pos] - k * Rs_p, 0, Rs_p - 1)
+                v = sl[li]
+                m = (jnp.arange(P) < cnt[k])[:, None]
+                return acc + jnp.where(m, v, 0).sum(dtype=jnp.uint32), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.uint32(0), jnp.arange(T, dtype=jnp.int32))
+            return acc, over
+
+        t = timeit(jax.jit(partitioned), table, idx)
+        print(f"part {sub_mb}MB T={T:3d} P={P:6d} {t*1e3:8.1f} ms  "
+              f"{n_/t/1e6:7.1f} M rows/s  "
+              f"overflow={int(jax.jit(partitioned)(table, idx)[1])}")
+
 
 if __name__ == "__main__":
     main()
