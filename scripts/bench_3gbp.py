@@ -296,6 +296,8 @@ def main() -> None:
         write_snps_csv(os.path.join(args.dir, "tpu_snps.csv"), calls)
         out["detail"]["snp_sweep_s"] = round(time.monotonic() - t2, 1)
         out["detail"]["snp_calls"] = len(calls)
+        with open(os.path.join(REPO, "BENCH_3G.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH_3G.json"), "w") as f:

@@ -103,7 +103,10 @@ def main():
     ap.add_argument("--reads", type=int, default=500)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--genome-kb", type=int, default=200)
-    ap.add_argument("--err", type=float, default=0.12)
+    # 7%: the highest rate at which the reference's SW scoring still
+    # accepts dovetails on iid synthetic errors (pairwise divergence
+    # 2x err; at 12% the reference corrects ~nothing even with -A 0)
+    ap.add_argument("--err", type=float, default=0.07)
     ap.add_argument("--dir", default="/tmp/bench_ec_h2h")
     a = ap.parse_args()
     os.makedirs(a.dir, exist_ok=True)
@@ -130,9 +133,16 @@ def main():
 
     if a.stage == "ref":
         t0 = time.monotonic()
+        # -A 0 disables the ClassifyPath 500bp-window artefact filter
+        # (documented reference option, "0 to disable"): measured on this
+        # synthetic uniform-error readset the default -A 70 classifies
+        # every overlap artefactual (0 corrected reads at ANY error rate
+        # tried, even 7%) — the window-deviation test is calibrated for
+        # real PacBio error clustering, not iid simulated errors.
         r = subprocess.run(
             [REF_BIN, "ecreads", "-i", "pb.fa", "-o", "corr.fa",
-             "-l", "500", "-S", "500", "-b", "500", "-T2", "-F", "ec.log"],
+             "-l", "500", "-S", "500", "-b", "500", "-A", "0",
+             "-T2", "-F", "ec.log"],
             cwd=a.dir, capture_output=True, text=True, timeout=14400,
         )
         dt = time.monotonic() - t0
