@@ -50,23 +50,20 @@ def main():
     idx = jnp.asarray(rng.integers(0, R, size=args.n, dtype=np.int32))
     print(f"table {table.nbytes/1e6:.0f} MB ({R} rows), {args.n} gathers")
 
-    f_plain = jax.jit(lambda t, i: t[i].sum(dtype=jnp.uint32))
+    # consume each gathered row XORed with its own index — defeats the
+    # XLA rewrite of gather-then-reduce into reduce-then-gather (the
+    # first probe version measured 130 TB/s "gathers": the table was
+    # row-summed once and only scalars were gathered)
+    def consume(v, i_):
+        return (v ^ i_[:, None].astype(jnp.uint32)).sum(dtype=jnp.uint32)
+
+    f_plain = jax.jit(lambda t, i: consume(t[i], i))
     t = timeit(f_plain, table, idx)
     print(f"plain      {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
 
-    def sorted_gather(t_, i_):
-        order = jnp.argsort(i_)
-        vals = t_[i_[order]]
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0], dtype=order.dtype))
-        return vals[inv].sum(dtype=jnp.uint32)
-
-    t = timeit(jax.jit(sorted_gather), table, idx)
-    print(f"sorted+inv {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
-
     def sorted_noinv(t_, i_):
         si = jnp.sort(i_)
-        return t_[si].sum(dtype=jnp.uint32)
+        return consume(t_[si], si)
 
     t = timeit(jax.jit(sorted_noinv), table, idx)
     print(f"sortnoinv  {t*1e3:8.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
@@ -84,6 +81,16 @@ def main():
     idxs = jnp.asarray(rng.integers(0, Rs, size=args.n, dtype=np.int32))
     t = timeit(f_plain, ts, idxs)
     print(f"small(2.3MB){t*1e3:7.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
+
+    # small-table sweep: find the size where the fast regime ends
+    for mb in (4, 8, 16, 32, 64):
+        Rm = int(mb * 1e6 / 64)
+        if Rm > R:
+            break
+        tm = table[:Rm]
+        im = jnp.asarray(rng.integers(0, Rm, size=args.n, dtype=np.int32))
+        t = timeit(f_plain, tm, im)
+        print(f"small({mb:3d}MB){t*1e3:7.1f} ms  {args.n/t/1e6:7.1f} M rows/s")
 
     # partitioned: sort once, then scan static sub-table slices small
     # enough that XLA gathers them at the small-table rate.  Per-slice
@@ -109,9 +116,13 @@ def main():
             def body(carry, k):
                 acc = carry
                 sl = jax.lax.dynamic_slice(t_, (k * Rs_p, 0), (Rs_p, 16))
+                # barrier: stop XLA fusing the slice INTO the gather
+                # (without it the 4/8MB cells measured exactly the
+                # large-table rate — the slice never materialised)
+                sl = jax.lax.optimization_barrier(sl)
                 pos = jnp.clip(offs[k] + jnp.arange(P), 0, n_ - 1)
                 li = jnp.clip(si[pos] - k * Rs_p, 0, Rs_p - 1)
-                v = sl[li]
+                v = sl[li] ^ li[:, None].astype(jnp.uint32)
                 m = (jnp.arange(P) < cnt[k])[:, None]
                 return acc + jnp.where(m, v, 0).sum(dtype=jnp.uint32), None
 
