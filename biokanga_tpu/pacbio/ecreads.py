@@ -99,7 +99,8 @@ def _seed_all(key_hi, key_lo, lut, pos_rows, probes, k, H, stride, S,
 
 
 def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
-                                  probe_gids=None, n_reads_total=None):
+                                  probe_gids=None, n_reads_total=None,
+                                  ent_gids=None):
     """Vectorised candidate clustering for a batch of probes.
 
     Returns (pair_probe, pair_entry, pair_diag) host arrays — one row per
@@ -146,12 +147,17 @@ def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
     c_diag = dsum // cnt
 
     # drop self-overlaps (entry g and its rc copy g+n map to the probe
-    # whose GLOBAL read id is g)
+    # whose GLOBAL read id is g); with a target-chunked index the
+    # entry->global-read mapping goes through ent_gids
     n = N if n_reads_total is None else int(n_reads_total)
     gids = (np.arange(N, dtype=np.int64) if probe_gids is None
             else np.asarray(probe_gids, np.int64))
-    base_ent = c_ent % n
-    ok = base_ent != gids[c_probe]
+    if ent_gids is None:
+        tgt_gid = c_ent % n
+    else:
+        eg = np.asarray(ent_gids, np.int64)
+        tgt_gid = eg[np.clip(c_ent, 0, len(eg) - 1)]
+    ok = tgt_gid != gids[c_probe]
     c_probe, c_ent, c_diag, cnt = (c_probe[ok], c_ent[ok], c_diag[ok],
                                    cnt[ok])
     # top max_targets per probe by votes
@@ -212,15 +218,60 @@ def _consensus(votes, ins_cnt, ins_base, probes, plens, min_cov):
 def ec_reads(
     reads: list[np.ndarray],
     params: ECParams | None = None,
+    target_chunk: int | None = None,
+    mesh=None,
 ) -> tuple[list[np.ndarray], dict]:
     """Correct every read against the others (fully batched; see module
-    docstring). Returns (corrected, stats)."""
+    docstring). Returns (corrected, stats).
+
+    target_chunk: index at most this many target reads at a time
+    (VERDICT r3 item 6 — the rc-doubled all-vs-all index residency no
+    longer bounds read-set size; column votes accumulate exactly across
+    target chunks because vote scatter-add is associative, mirroring the
+    reference's per-target-block SW scheduling PBErrCorrect.h:204-230).
+
+    mesh: a jax.sharding.Mesh with a 'dp' axis — SW pair batches shard
+    over it (parallel/swservice.py dataflow, the BKS RPC replacement);
+    None = single-device dispatch.
+    """
     p = params or ECParams()
-    entries = [(f"r{i}", s) for i, s in enumerate(reads)]
-    entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
-    idx = build_index(entries, lut_bases=8)
-    didx = to_device(idx)
-    return _correct_probes(reads, entries, idx, didx, reads, p)
+    n = len(reads)
+    if target_chunk is None or target_chunk >= n:
+        entries = [(f"r{i}", s) for i, s in enumerate(reads)]
+        entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
+        idx = build_index(entries, lut_bases=8)
+        didx = to_device(idx)
+        return _correct_probes(reads, entries, idx, didx, reads, p,
+                               mesh=mesh)
+
+    probes, plens = _pad_reads(reads, pad_to=max(len(r) for r in reads))
+    N, La = probes.shape
+    votes = jnp.zeros((N, La, 7), jnp.int32)
+    ins_cnt = jnp.zeros((N, La + 1), jnp.int32)
+    ins_base = jnp.zeros((N, La + 1, 4), jnp.int32)
+    n_pairs_used = 0
+    for t0 in range(0, n, target_chunk):
+        tids = list(range(t0, min(t0 + target_chunk, n)))
+        entries = [(f"r{i}", reads[i]) for i in tids]
+        entries += [(f"rc{i}", revcomp(reads[i])) for i in tids]
+        ent_gids = np.asarray(tids + tids, np.int64)
+        idx = build_index(entries, lut_bases=8)
+        didx = to_device(idx)
+        c_probe, c_ent, c_diag = find_overlap_candidates_batch(
+            didx, idx, probes, plens, p,
+            probe_gids=np.arange(n), n_reads_total=n, ent_gids=ent_gids,
+        )
+        tseqs = [e[1] for e in entries]
+        votes, ins_cnt, ins_base, used = _sw_and_vote(
+            probes, plens, c_probe, c_ent, c_diag, tseqs,
+            votes, ins_cnt, ins_base, p, mesh,
+        )
+        n_pairs_used += used
+        del didx, idx
+    corrected = _finish_consensus(votes, ins_cnt, ins_base, probes,
+                                  plens, p)
+    return corrected, {"reads": n, "overlaps_used": n_pairs_used,
+                       "target_chunks": -(-n // target_chunk)}
 
 
 def ec_reads_checkpointed(
@@ -278,32 +329,30 @@ def ec_reads_checkpointed(
     return corrected, {"reads": len(reads), "overlaps_used": overlaps}
 
 
-def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
-                    probe_gids=None):
-    """Correct `probe_reads` against the prebuilt all-reads index.
+def _sw_and_vote(probes, plens, c_probe, c_ent, c_diag, tseqs,
+                 votes, ins_cnt, ins_base, p, mesh=None):
+    """Run every (probe, candidate) SW pair in traceback-budget chunks
+    and scatter accepted alignments into the vote planes.
 
-    Probes pad to the GLOBAL max read length so every checkpoint group
-    compiles to one shape."""
-    n = len(probe_reads)
-    probes, plens = _pad_reads(probe_reads,
-                               pad_to=max(len(r) for r in all_reads))
+    mesh: shard each pair chunk over the mesh 'dp' axis — the
+    parallel/swservice.py dataflow (BKS RPC replacement,
+    BKSRequester.cpp/BKSProvider.cpp): jit auto-partitions the banded
+    DP scan across devices with no communication, and the vote scatter
+    reduces over dp exactly like the reference's requester merging job
+    responses."""
     N, La = probes.shape
-
-    c_probe, c_ent, c_diag = find_overlap_candidates_batch(
-        didx, idx, probes, plens, p,
-        probe_gids=probe_gids, n_reads_total=len(all_reads),
-    )
-    P = len(c_probe)
-
-    # target sequences per pair (entry codes; rc entries pre-materialised)
-    tseqs = [e[1] for e in entries]
     Lb = La
-    votes = jnp.zeros((N, La, 7), jnp.int32)
-    ins_cnt = jnp.zeros((N, La + 1), jnp.int32)
-    ins_base = jnp.zeros((N, La + 1, 4), jnp.int32)
-
+    P = len(c_probe)
     K = 2 * p.sw_band + 1
     chunk = max(16, int(p.sw_chunk_bytes // max(La * K, 1)))
+    if mesh is not None:
+        n_dp = mesh.shape["dp"]
+        chunk = max(n_dp, chunk // n_dp * n_dp)
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        row_sh = NamedSharding(mesh, PS("dp", None))
+        vec_sh = NamedSharding(mesh, PS("dp"))
+
     n_pairs_used = 0
     for s in range(0, P, chunk):
         rows = np.arange(s, min(s + chunk, P))
@@ -325,23 +374,36 @@ def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
         pids = np.zeros(chunk, np.int32)
         pids[:Bc] = c_probe[rows].astype(np.int32)
 
+        if mesh is None:
+            a_d, b_d = jnp.asarray(a), jnp.asarray(b)
+            alen_d, blen_d = jnp.asarray(alen), jnp.asarray(blen)
+            dg_d, pids_d = jnp.asarray(dg), jnp.asarray(pids)
+        else:
+            a_d = jax.device_put(a, row_sh)
+            b_d = jax.device_put(b, row_sh)
+            alen_d = jax.device_put(alen, vec_sh)
+            blen_d = jax.device_put(blen, vec_sh)
+            dg_d = jax.device_put(dg, vec_sh)
+            pids_d = jax.device_put(pids, vec_sh)
+
         best, bi, bk, moves = banded_sw_batch(
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen),
-            jnp.asarray(blen), jnp.asarray(dg), p.sw_band, La, Lb,
+            a_d, b_d, alen_d, blen_d, dg_d, p.sw_band, La, Lb,
         )
         out, insc, insb = traceback_align_batch(
-            moves, bi, bk, jnp.asarray(dg), jnp.asarray(b),
-            jnp.asarray(blen), p.sw_band, La,
+            moves, bi, bk, dg_d, b_d, blen_d, p.sw_band, La,
         )
         ok = best >= p.min_overlap_score
         if pad:
             ok = ok & (jnp.arange(chunk) < Bc)
         votes, ins_cnt, ins_base = _scatter_votes(
-            votes, ins_cnt, ins_base, out, insc, insb,
-            jnp.asarray(pids), ok,
+            votes, ins_cnt, ins_base, out, insc, insb, pids_d, ok,
         )
         n_pairs_used += int(np.asarray(ok).sum())
+    return votes, ins_cnt, ins_base, n_pairs_used
 
+
+def _finish_consensus(votes, ins_cnt, ins_base, probes, plens, p):
+    """Consensus call + host-side edit application."""
     call, ins_go, ins_b = jax.device_get(_consensus(
         votes, ins_cnt, ins_base, jnp.asarray(probes), jnp.asarray(plens),
         p.min_cov_for_call,
@@ -349,9 +411,8 @@ def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
     call = np.asarray(call)
     ins_go = np.asarray(ins_go)
     ins_b = np.asarray(ins_b)
-
     corrected = []
-    for i in range(n):
+    for i in range(probes.shape[0]):
         L = int(plens[i])
         out = []
         for j in range(L):
@@ -363,5 +424,33 @@ def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
         if ins_go[i, L]:
             out.append(int(ins_b[i, L]))
         corrected.append(np.array(out, np.int8))
+    return corrected
+
+
+def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
+                    probe_gids=None, mesh=None):
+    """Correct `probe_reads` against the prebuilt all-reads index.
+
+    Probes pad to the GLOBAL max read length so every checkpoint group
+    compiles to one shape."""
+    n = len(probe_reads)
+    probes, plens = _pad_reads(probe_reads,
+                               pad_to=max(len(r) for r in all_reads))
+    N, La = probes.shape
+
+    c_probe, c_ent, c_diag = find_overlap_candidates_batch(
+        didx, idx, probes, plens, p,
+        probe_gids=probe_gids, n_reads_total=len(all_reads),
+    )
+    tseqs = [e[1] for e in entries]
+    votes = jnp.zeros((N, La, 7), jnp.int32)
+    ins_cnt = jnp.zeros((N, La + 1), jnp.int32)
+    ins_base = jnp.zeros((N, La + 1, 4), jnp.int32)
+    votes, ins_cnt, ins_base, n_pairs_used = _sw_and_vote(
+        probes, plens, c_probe, c_ent, c_diag, tseqs,
+        votes, ins_cnt, ins_base, p, mesh,
+    )
+    corrected = _finish_consensus(votes, ins_cnt, ins_base, probes,
+                                  plens, p)[:n]
     return corrected, {"reads": n, "overlaps_used": n_pairs_used}
 

@@ -62,8 +62,10 @@ def worker(pid: int, nproc: int, port: int) -> None:
                              lut_bases=10)
     params = AlignParams(cand_per_core=32)
     sidx = shard_chunked_index(ci, mesh)
-    # fixed TOTAL workload regardless of nproc: 2 dp-shards' worth
-    B_global = 2 * READS_PER_DP
+    # fixed TOTAL workload regardless of nproc: 4 dp-shards' worth
+    # (the 4-host cluster's natural dp width, so the 1-host run does
+    # 4x its per-step work and scaling is strong-scaling)
+    B_global = 4 * READS_PER_DP
     _, reads, _ = simulate_reads(seqs, B_global, read_len=100,
                                  sub_rate=0.02, seed=13)
     lengths = np.full(B_global, 100, np.int32)
@@ -129,26 +131,36 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
-    r1 = run_cluster(1)
-    r2 = run_cluster(2)
-    reads = r1[0]["reads_total"]
-    rate1 = reads / r1[0]["wall_s"]
-    # same total work split over 2 hosts: wall is the max across hosts
-    wall2 = max(r["wall_s"] for r in r2)
-    rate2 = reads / wall2
+    ladder = {}
+    reads = None
+    for nproc in (1, 2, 4):
+        rows = run_cluster(nproc)
+        reads = rows[0]["reads_total"]
+        wall = max(r["wall_s"] for r in rows)
+        ladder[nproc] = {
+            "wall_s": round(wall, 2),
+            "reads_per_s_total": round(reads / wall, 1),
+            "reads_per_s_per_host": round(reads / wall / nproc, 1),
+            "input_frac_of_wall": round(
+                max(r["input_s"] for r in rows) / wall, 3),
+        }
+    rate1 = ladder[1]["reads_per_s_total"]
     print(json.dumps({
-        "metric": "multihost_virtual_scaling_1to2",
-        "value": round(rate2 / rate1, 3),
-        "unit": "x",
+        "metric": "multihost_virtual_scaling",
+        "value": round(ladder[4]["reads_per_s_total"] / rate1 / 4, 3),
+        "unit": "frac_linear_1to4",
         "detail": {
             "reads_total": reads,
-            "host1": {"wall_s": round(r1[0]["wall_s"], 2),
-                      "input_s": round(r1[0]["input_s"], 2)},
-            "host2": [{"wall_s": round(r["wall_s"], 2),
-                       "input_s": round(r["input_s"], 2)} for r in r2],
-            "input_frac_of_wall": round(
-                max(r["input_s"] for r in r2) / wall2, 3),
-            "note": "virtual 4-dev CPU hosts; relative scaling proxy",
+            "scaling_1to2": round(
+                ladder[2]["reads_per_s_total"] / rate1, 3),
+            "scaling_1to4": round(
+                ladder[4]["reads_per_s_total"] / rate1, 3),
+            "hosts": ladder,
+            "note": ("virtual 4-dev CPU hosts on a 2-vCPU VM; absolute "
+                     "rates are CPU-backend numbers and the 4-host row "
+                     "oversubscribes 16 XLA devices onto 2 cores — the "
+                     "relative ladder is the executable proxy this "
+                     "1-chip environment allows"),
         },
     }))
 

@@ -60,3 +60,41 @@ def test_ec_uses_rc_overlaps():
     corrected, stats = ec_reads(reads, ECParams(min_overlap_score=80))
     # rc reads must still find overlaps (via the rc entries in the index)
     assert stats["overlaps_used"] >= 10
+
+
+def test_ec_target_chunked_matches_full():
+    """Target-chunked EC (bounded index residency, VERDICT r3 item 6)
+    corrects as well as the all-in-one index."""
+    rng = np.random.default_rng(21)
+    true = random_genome([("t", 800)], seed=51)[0][1]
+    reads = [noisy_copy(rng, true) for _ in range(12)]
+    p = ECParams(min_overlap_score=100)
+    full, st_full = ec_reads(reads, p)
+    chunked, st_ch = ec_reads(reads, p, target_chunk=5)
+    assert st_ch["target_chunks"] == 3
+    assert st_ch["overlaps_used"] >= st_full["overlaps_used"]
+    better = 0
+    for raw, fix in zip(reads, chunked):
+        if edit_distance(fix[:300], true[:300]) < edit_distance(
+                raw[:300], true[:300]):
+            better += 1
+    assert better >= 8, f"only {better}/12 chunked reads improved"
+
+
+def test_ec_mesh_sw_dispatch():
+    """SW pair batches shard over a dp mesh (swservice dataflow wired
+    into ec_reads) and produce the SAME corrections as single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(33)
+    true = random_genome([("t", 700)], seed=52)[0][1]
+    reads = [noisy_copy(rng, true) for _ in range(10)]
+    p = ECParams(min_overlap_score=100)
+    want, _ = ec_reads(reads, p)
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs.reshape(len(devs)), ("dp",))
+    got, _ = ec_reads(reads, p, mesh=mesh)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
