@@ -16,7 +16,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> None:
@@ -34,6 +35,9 @@ def main() -> None:
     from biokanga_tpu.align.params import AlignParams
     from biokanga_tpu.index.device_build import DeviceBuildChunkedAligner
     from biokanga_tpu.sim.simreads import simulate_reads
+    from biokanga_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     n_bp = int(args.gbp * 1e9)
     t0 = time.monotonic()
@@ -58,28 +62,19 @@ def main() -> None:
     build_times = []
 
     t_all = time.monotonic()
-    # instrument: time each chunk build separately from align sweeps
-    from biokanga_tpu.align.pipeline import AlignEngine
-    from biokanga_tpu.parallel.chunked import merge_chunk_results
+    # GLOBAL two-level sweep (round-3 parallel/chunked path): fast pass
+    # per (chunk, block) double-buffered, classic cycle only for the
+    # globally-unresolved remainder — replaces the round-2 per-chunk
+    # align_with_rescue, which re-ran the classic pass for every read
+    # whose home chunk was elsewhere ((K-1)/K of all dispatches)
+    from biokanga_tpu.parallel.chunked import two_level_chunk_sweep
 
-    engine = None
-    per_block = [[] for _ in blocks]
-    for k in range(ca.num_chunks):
-        t0 = time.monotonic()
-        didx = ca.build_chunk(k)
-        jax.block_until_ready(didx.key_hi)
-        build_times.append(time.monotonic() - t0)
-        if engine is None:
-            engine = AlignEngine(didx, params)
-        else:
-            engine.didx = didx
-        for b, (r, l) in enumerate(blocks):
-            per_block[b].append(engine.align_with_rescue(r, l))
+    ca.build_s.clear()
+    merged = two_level_chunk_sweep(ca, blocks)
     n_unique = n_correct = 0
-    starts = ca.entry_starts
     ti = 0
     for b, (r, l) in enumerate(blocks):
-        res = merge_chunk_results(per_block[b], ca.bases, l, params)
+        res = merged[b]
         n_unique += int(res["unique"].sum())
         for i in range(len(r)):
             t = truths[ti]
@@ -87,9 +82,11 @@ def main() -> None:
             if res["unique"][i]:
                 n_correct += int(res["locus"][i] == t.start - 1)
     dt = time.monotonic() - t_all
+    build_times = list(ca.build_s)
     rps = len(reads) / dt
 
-    print(json.dumps({
+    sweep_s = dt - sum(build_times)
+    out = {
         "metric": "big_genome_reads_per_sec_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s",
@@ -99,6 +96,8 @@ def main() -> None:
             "chunk_build_s": [round(t, 2) for t in build_times],
             "genome_gen_s": round(t_gen, 1),
             "total_align_s": round(dt, 1),
+            "sweep_only_s": round(sweep_s, 1),
+            "sweep_only_reads_per_s": round(len(reads) / sweep_s, 1),
             "n_reads": len(reads),
             "unique_frac": round(n_unique / len(reads), 4),
             "correct_frac_of_unique": round(
@@ -106,7 +105,10 @@ def main() -> None:
             ),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    with open(os.path.join(REPO, "BENCH_BIG.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
