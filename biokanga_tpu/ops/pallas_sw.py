@@ -1,0 +1,185 @@
+"""Pallas banded Smith-Waterman score kernel — the long-pair SW engine.
+
+Why: the lax.scan banded SW (ops/sw.py banded_sw_batch) pays XLA's
+per-iteration scan overhead on every DP row; at B=1, La=100,000 (the
+long-read / CSSW envelope, pacbiokanga/SSW.cpp:992, 256 Kbp cap
+BKScommon.h) that overhead dominates and the measured rate was
+0.04 GCUPS (LONGREAD_r03.json).  This kernel runs the whole row loop
+INSIDE one Mosaic program: per row it is ~a dozen VPU ops on the
+band vector, the lazy-F horizontal dependency is resolved with a
+log2(K)-step shift-max scan (pltpu.roll), and the band window of the
+target is read with a dynamic lane slice from VMEM — no HBM traffic
+in the loop at all.
+
+Band normalisation: callers pre-extract, per pair, the target window
+bwin[t] = b[t - W + diag] (host gather), so inside the kernel the band
+centre is always 0 and row i reads bwin[i : i + K].  Validity of true
+target positions is carried by [jlo, jhi) bounds.
+
+Score semantics are IDENTICAL to ops/sw.banded_sw_batch (same lazy-F
+formulation, same N handling, same local floor); tests assert equality
+against it and against the full-matrix numpy oracle.  Score-only: the
+EC path keeps the scan kernel for its move planes; long pairs use this
+kernel for score + best cell (blockwise recompute can localise a
+traceback afterwards).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw import (
+    DEFAULT_GAP_EXT,
+    DEFAULT_GAP_OPEN,
+    DEFAULT_MATCH,
+    DEFAULT_MISMATCH,
+    NEG,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
+            La: int, W: int, KP: int, match: int, mismatch: int,
+            gap_open: int, gap_ext: int):
+    K = 2 * W + 1
+    alen = alen_ref[0]
+    jlo = jlo_ref[0]
+    jhi = jhi_ref[0]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+    neg = jnp.full((1, KP), NEG, jnp.int32)
+
+    def shift_up(x):
+        # x[k] <- x[k+1]; top lane NEG (band coord k+1 of previous row).
+        # pltpu.roll only takes non-negative shifts: -1 == KP-1 circular
+        r = pltpu.roll(x, shift=KP - 1, axis=1)
+        return jnp.where(ks == KP - 1, NEG, r)
+
+    def shift_right(x, s):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(ks < s, NEG, r)
+
+    def body(i, carry):
+        H, E, best, bi, bk = carry
+        ai = a_ref[0, i]
+        bj = bw_ref[0, pl.ds(i, KP)].reshape(1, KP)
+        j = i + ks - W
+        in_band = (j >= jlo) & (j < jhi) & (ks < K) & (i < alen)
+        is_m = (ai == bj) & (ai < 4) & (bj < 4)
+        sub = jnp.where(is_m, match, mismatch)
+
+        E = jnp.maximum(shift_up(H) + gap_open, shift_up(E) + gap_ext)
+        Hd = H + sub
+        H0 = jnp.maximum(jnp.maximum(Hd, E), 0)
+        H0 = jnp.maximum(H0, jnp.where(sub > 0, sub, 0))
+        # lazy-F: cummax(H0 - k*ext) via log-step shift-max
+        run = H0 + (-gap_ext) * ks
+        s = 1
+        while s < KP:
+            run = jnp.maximum(run, shift_right(run, s))
+            s *= 2
+        run_prev = shift_right(run, 1)
+        F = run_prev + gap_ext * ks + gap_open - gap_ext
+        H = jnp.maximum(jnp.maximum(H0, F), 0)
+        H = jnp.where(in_band, H, neg)
+        E2 = jnp.where(in_band, E, neg)
+
+        rb = jnp.max(H)
+        rk = jnp.min(jnp.where(H == rb, ks, KP))
+        better = rb > best
+        best = jnp.where(better, rb, best)
+        bi = jnp.where(better, i, bi)
+        bk = jnp.where(better, rk, bk)
+        return H, E2, best, bi, bk
+
+    H0 = jnp.zeros((1, KP), jnp.int32)
+    E0 = jnp.full((1, KP), NEG, jnp.int32)
+    H, E, best, bi, bk = jax.lax.fori_loop(
+        0, La, body, (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    out = jnp.zeros((1, 128), jnp.int32)
+    out = out.at[0, 0].set(best).at[0, 1].set(bi).at[0, 2].set(bk)
+    out_ref[...] = out
+
+
+@partial(jax.jit, static_argnames=("W", "interpret", "match", "mismatch",
+                                   "gap_open", "gap_ext"))
+def _run(a32, bw32, alen, jlo, jhi, W, interpret=False,
+         match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
+         gap_open=DEFAULT_GAP_OPEN, gap_ext=DEFAULT_GAP_EXT):
+    B, La = a32.shape
+    K = 2 * W + 1
+    KP = _round_up(K, 128)
+    kern = partial(_kernel, La=La, W=W, KP=KP, match=match,
+                   mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda p: (p,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (p,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p: (p,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, La), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw32.shape[1]), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        interpret=interpret,
+    )(alen, jlo, jhi, a32, bw32)
+    return out[:, 0], out[:, 1], out[:, 2]
+
+
+def normalize_band(b: np.ndarray, blen: np.ndarray, diag: np.ndarray,
+                   La: int, W: int):
+    """Per-pair target band windows: bwin[p, t] = b[p, t - W + diag[p]]
+    (4 outside), plus normalised validity bounds (jlo, jhi)."""
+    B = b.shape[0]
+    K = 2 * W + 1
+    # the kernel reads KP (= K rounded up to the 128-lane tile) lanes per
+    # row: buffer must cover row La-1's full KP window
+    T = _round_up(La + _round_up(K, 128), 128)
+    t = np.arange(T)[None, :]
+    src = t - W + np.asarray(diag)[:, None]
+    ok = (src >= 0) & (src < np.asarray(blen)[:, None])
+    bwin = np.where(ok, np.take_along_axis(
+        np.asarray(b), np.clip(src, 0, b.shape[1] - 1), axis=1), 4)
+    jlo = (-np.asarray(diag)).astype(np.int32)
+    jhi = (np.asarray(blen) - np.asarray(diag)).astype(np.int32)
+    return bwin.astype(np.int32), jlo, jhi
+
+
+def banded_sw_score(a, b, alen, blen, diag, W,
+                    match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
+                    gap_open=DEFAULT_GAP_OPEN, gap_ext=DEFAULT_GAP_EXT,
+                    interpret: bool | None = None):
+    """Batched banded SW scores via the Pallas kernel.
+
+    Returns (best, best_i, best_k) with best_k in the same band
+    coordinates as ops/sw.banded_sw_batch (k = j - i - diag + W).
+    a: (B, La) int8/any int; b: (B, Lb); diag: per-pair band centre.
+    """
+    a = np.asarray(a)
+    B, La = a.shape
+    bwin, jlo, jhi = normalize_band(np.asarray(b), blen, diag, La, W)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    best, bi, bk = _run(
+        jnp.asarray(a.astype(np.int32)), jnp.asarray(bwin),
+        jnp.asarray(np.asarray(alen, np.int32)),
+        jnp.asarray(jlo), jnp.asarray(jhi), W, interpret,
+        match, mismatch, gap_open, gap_ext,
+    )
+    return best, bi, bk

@@ -28,6 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mbp", type=float, default=10.0)
     ap.add_argument("--sw-len", type=int, default=100_000)
+    ap.add_argument("--batch-reads", type=int, default=64)
     a = ap.parse_args()
 
     from biokanga_tpu.utils.jaxcache import enable_persistent_cache
@@ -76,42 +77,90 @@ def main():
             "seconds": round(dt, 2),
         })
 
-    # ---- banded SW on a >=100 Kbp pair ---------------------------------
+    # ---- batched long-read throughput (VERDICT r3 weak-6 closure) ------
+    NB, LB = a.batch_reads, 100_000
+    mat = np.full((NB, LB), 4, np.int8)
+    lens = np.full(NB, LB, np.int32)
+    truth = []
+    for i in range(NB):
+        st = int(rng.integers(0, gbp - LB))
+        r = codes[st: st + LB].copy()
+        pos = rng.choice(LB, 40, replace=False)
+        r[pos] = (r[pos] + rng.integers(1, 4, 40)) % 4
+        rc = bool(rng.integers(0, 2))
+        mat[i] = revcomp(r) if rc else r
+        truth.append((st, rc))
+    t0 = time.monotonic()
+    res = lra.align(mat, lens)
+    dt = time.monotonic() - t0
+    n_ok = sum(int(res["unique"][i] and int(res["locus"][i]) == truth[i][0]
+                   and bool(res["is_rc"][i]) == truth[i][1])
+               for i in range(NB))
+    out["batch_100kbp"] = {
+        "n_reads": NB, "read_len": LB, "locus_correct": n_ok,
+        "seconds": round(dt, 2),
+        "reads_per_s": round(NB / dt, 2),
+        "mbp_per_s": round(NB * LB / dt / 1e6, 1),
+    }
+
+    # ---- banded SW pairs: lax.scan kernel vs Pallas wavefront ----------
+    from biokanga_tpu.ops.pallas_sw import banded_sw_score
     from biokanga_tpu.ops.sw import banded_sw_batch
 
-    L = a.sw_len
-    st = int(rng.integers(0, gbp - L - 1000))
-    w = codes[st : st + L]
-    r = []
-    for b in w:
-        x = rng.random()
-        if x < 0.02:
-            r.append((b + rng.integers(1, 4)) % 4)
-        elif x < 0.035:
-            r.append(b)
-            r.append(rng.integers(0, 4))
-        elif x < 0.05:
-            continue
-        else:
-            r.append(b)
-    q = np.array(r, np.int8)
-    Lq = len(q)
-    W = 1024  # half-band; indel drift over 100 Kbp at 1.5% net ~ +-750
-    qa = jnp.asarray(q[None, :])
-    ta = jnp.asarray(w[None, :])
-    t0 = time.monotonic()
-    best, bi, bk, moves = banded_sw_batch(
-        qa, ta, jnp.array([Lq], jnp.int32), jnp.array([L], jnp.int32),
-        jnp.zeros(1, jnp.int32), W, Lq, L)
-    score = int(jax.block_until_ready(best)[0])
-    dt = time.monotonic() - t0
-    cells = Lq * (2 * W + 1)
-    out["banded_sw"] = {
-        "query_len": Lq, "target_len": L, "band": band,
-        "score": score, "seconds": round(dt, 2),
-        "gcups": round(cells / dt / 1e9, 2),
-    }
+    def noisy(w):
+        r = []
+        for b in w:
+            x = rng.random()
+            if x < 0.02:
+                r.append((b + rng.integers(1, 4)) % 4)
+            elif x < 0.035:
+                r.append(b)
+                r.append(rng.integers(0, 4))
+            elif x < 0.05:
+                continue
+            else:
+                r.append(b)
+        return np.array(r, np.int8)
+
+    for L, W, run_scan in ((a.sw_len, 1024, True), (262_144, 2048, False)):
+        st = int(rng.integers(0, gbp - L - 8000))
+        w = codes[st: st + L]
+        q = noisy(w)
+        Lq = len(q)
+        cells = Lq * (2 * W + 1)
+        row = {"query_len": Lq, "target_len": L, "band_half_width": W}
+        alen = np.array([Lq], np.int32)
+        blen = np.array([L], np.int32)
+        dg = np.zeros(1, np.int32)
+        # Pallas wavefront kernel (score + best cell); timing by fetching
+        # the result (block_until_ready does not wait on this backend)
+        best, bi, bk = banded_sw_score(q[None, :], w[None, :], alen,
+                                       blen, dg, W)  # compile
+        s_pallas = int(jax.device_get(best)[0])
+        t0 = time.monotonic()
+        best, bi, bk = banded_sw_score(q[None, :], w[None, :], alen,
+                                       blen, dg, W)
+        s_pallas = int(jax.device_get(best)[0])
+        dt_p = time.monotonic() - t0
+        row["pallas"] = {"score": s_pallas, "seconds": round(dt_p, 3),
+                         "gcups": round(cells / dt_p / 1e9, 2)}
+        if run_scan:
+            qa, ta = jnp.asarray(q[None, :]), jnp.asarray(w[None, :])
+            t0 = time.monotonic()
+            sb, si, sk, _ = banded_sw_batch(
+                qa, ta, jnp.asarray(alen), jnp.asarray(blen),
+                jnp.asarray(dg), W, Lq, L)
+            s_scan = int(jax.device_get(sb)[0])
+            dt_s = time.monotonic() - t0
+            row["lax_scan"] = {"score": s_scan,
+                               "seconds": round(dt_s, 2),
+                               "gcups": round(cells / dt_s / 1e9, 3)}
+            row["scores_equal"] = bool(s_scan == s_pallas)
+        out.setdefault("banded_sw", []).append(row)
     print(json.dumps({"metric": "longread_envelope", "detail": out}))
+    with open(os.path.join(REPO, "LONGREAD_r04.json"), "w") as f:
+        json.dump({"metric": "longread_envelope", "detail": out}, f,
+                  indent=1)
 
 
 if __name__ == "__main__":
