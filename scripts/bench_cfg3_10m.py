@@ -121,7 +121,7 @@ def main():
 
     # free the resident index before allocating pileup planes
     del pea, engine, didx
-    sp = SNPParams()
+    snp_par = SNPParams()
     t0 = time.monotonic()
     cp = ChunkedPileup(np.array([0, gbp]), [gbp], np.array([gbp]), 0)
     genome_d = jax.device_put(codes)
@@ -134,17 +134,17 @@ def main():
             aligned[i, :L] = revcomp(reads1[i, :L])
         cp.add_batch(genome_d, res["locus"].astype(np.int64), aligned,
                      np.full(len(reads1), L, np.int32), acc)
-    cp.finish_chunk(genome_d, esl, sp)
+    cp.finish_chunk(genome_d, esl, snp_par)
 
     def ref_base(e, loci):
         return int(codes[int(loci)])
 
     calls = cp.finalize_calls(ref_base, ["chr1"],
-                              np.array([0, gbp], np.int64), sp)
+                              np.array([0, gbp], np.int64), snp_par)
     n_called = len(calls)
     t_snp = time.monotonic() - t0
 
-    print(json.dumps({
+    out = {
         "metric": "cfg3_pe_reads_per_sec_per_chip_250mbp",
         "value": round(2 * n / t_align, 1),
         "unit": "reads/s",
@@ -155,11 +155,14 @@ def main():
             "align_s_incl_sim_overlap": round(t_align, 1),
             "proper_frac": round(n_proper / n, 4),
             "truth_correct_frac": round(n_correct / max(n_proper, 1), 4),
-            "snp_sample_pairs": sp,
+            "snp_sample_pairs": a.snp_sample_pairs,
             "snp_call_s": round(t_snp, 1),
             "snp_rows_called": int(n_called),
         },
-    }))
+    }
+    with open(os.path.join(REPO, "BENCH_CFG3.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
