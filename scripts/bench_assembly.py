@@ -142,7 +142,18 @@ def main():
             "passes": st.passes,
         }
 
-    print(json.dumps({"metric": "assembly_n50", "detail": out}))
+    row = {"metric": "assembly_n50", "detail": out}
+    # merge partial stage outputs into one evidence file: --skip-ours /
+    # --skip-ref runs update the same BENCH_ASM.json
+    path = os.path.join(REPO, "BENCH_ASM.json")
+    if os.path.exists(path):
+        old = json.load(open(path)).get("detail", {})
+        for k in ("ref", "ours"):
+            if k in old and k not in out:
+                out[k] = old[k]
+    with open(path, "w") as f:
+        json.dump(row, f, indent=1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
