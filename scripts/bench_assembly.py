@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--mbp", type=float, default=5.0)
     ap.add_argument("--cov", type=float, default=30.0)
     ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--insert-min", type=int, default=250)
+    ap.add_argument("--insert-max", type=int, default=500)
     ap.add_argument("--dir", default="/tmp/bench_assembly")
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
@@ -78,7 +80,7 @@ def main():
     n_pairs = int(gbp * a.cov / (2 * a.read_len))
     names, reads, truths = simulate_reads(
         seqs, n_pairs, read_len=a.read_len, sub_rate=0.0, seed=44,
-        pe=True, insert_min=250, insert_max=500,
+        pe=True, insert_min=a.insert_min, insert_max=a.insert_max,
     )
     pe1 = os.path.join(a.dir, "pe1.fa")
     pe2 = os.path.join(a.dir, "pe2.fa")
