@@ -49,12 +49,19 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
             La: int, W: int, KP: int, match: int, mismatch: int,
             gap_open: int, gap_ext: int):
+    # Mosaic constraint shapes the loop structure: dynamic lane indices
+    # must be 128-aligned, so rows advance in BLOCKS of 128 — the query
+    # chunk and the two band-window tiles load at aligned offsets, and
+    # the per-row values come from lane-compare reductions (query base)
+    # and a dynamic lane ROTATE (band window), never unaligned slices.
     K = 2 * W + 1
     alen = alen_ref[0]
     jlo = jlo_ref[0]
     jhi = jhi_ref[0]
     ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.full((1, KP), NEG, jnp.int32)
+    CW = KP + 128
 
     def shift_up(x):
         # x[k] <- x[k+1]; top lane NEG (band coord k+1 of previous row).
@@ -66,46 +73,64 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
         r = pltpu.roll(x, shift=s, axis=1)
         return jnp.where(ks < s, NEG, r)
 
-    def body(i, carry):
-        H, E, best, bi, bk = carry
-        ai = a_ref[0, i]
-        bj = bw_ref[0, pl.ds(i, KP)].reshape(1, KP)
-        j = i + ks - W
-        in_band = (j >= jlo) & (j < jhi) & (ks < K) & (i < alen)
-        is_m = (ai == bj) & (ai < 4) & (bj < 4)
-        sub = jnp.where(is_m, match, mismatch)
+    def outer(blk, carry0):
+        i0 = blk * 128
+        a_chunk = a_ref[0, pl.ds(pl.multiple_of(i0, 128), 128)
+                        ].reshape(1, 128)
+        w1 = bw_ref[0, pl.ds(pl.multiple_of(i0, 128), KP)].reshape(1, KP)
+        w2 = bw_ref[0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
+                    ].reshape(1, 128)
+        cat = jnp.concatenate([w1, w2], axis=1)  # (1, KP+128)
 
-        E = jnp.maximum(shift_up(H) + gap_open, shift_up(E) + gap_ext)
-        Hd = H + sub
-        H0 = jnp.maximum(jnp.maximum(Hd, E), 0)
-        H0 = jnp.maximum(H0, jnp.where(sub > 0, sub, 0))
-        # lazy-F: cummax(H0 - k*ext) via log-step shift-max
-        run = H0 + (-gap_ext) * ks
-        s = 1
-        while s < KP:
-            run = jnp.maximum(run, shift_right(run, s))
-            s *= 2
-        run_prev = shift_right(run, 1)
-        F = run_prev + gap_ext * ks + gap_open - gap_ext
-        H = jnp.maximum(jnp.maximum(H0, F), 0)
-        H = jnp.where(in_band, H, neg)
-        E2 = jnp.where(in_band, E, neg)
+        def body(r, carry):
+            H, E, best, bi, bk = carry
+            i = i0 + r
+            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1))
+            win = pltpu.roll(cat, shift=CW - r, axis=1)
+            bj = win[:, :KP]
+            j = i + ks - W
+            in_band = (j >= jlo) & (j < jhi) & (ks < K) & (i < alen)
+            is_m = (ai == bj) & (ai < 4) & (bj < 4)
+            sub = jnp.where(is_m, match, mismatch)
 
-        rb = jnp.max(H)
-        rk = jnp.min(jnp.where(H == rb, ks, KP))
-        better = rb > best
-        best = jnp.where(better, rb, best)
-        bi = jnp.where(better, i, bi)
-        bk = jnp.where(better, rk, bk)
-        return H, E2, best, bi, bk
+            E = jnp.maximum(shift_up(H) + gap_open,
+                            shift_up(E) + gap_ext)
+            Hd = H + sub
+            H0 = jnp.maximum(jnp.maximum(Hd, E), 0)
+            H0 = jnp.maximum(H0, jnp.where(sub > 0, sub, 0))
+            # lazy-F: cummax(H0 - k*ext) via log-step shift-max
+            run = H0 + (-gap_ext) * ks
+            s = 1
+            while s < KP:
+                run = jnp.maximum(run, shift_right(run, s))
+                s *= 2
+            run_prev = shift_right(run, 1)
+            F = run_prev + gap_ext * ks + gap_open - gap_ext
+            H = jnp.maximum(jnp.maximum(H0, F), 0)
+            H = jnp.where(in_band, H, neg)
+            E2 = jnp.where(in_band, E, neg)
+
+            rb = jnp.max(H)
+            rk = jnp.min(jnp.where(H == rb, ks, KP))
+            better = rb > best
+            best = jnp.where(better, rb, best)
+            bi = jnp.where(better, i, bi)
+            bk = jnp.where(better, rk, bk)
+            return H, E2, best, bi, bk
+
+        return jax.lax.fori_loop(0, 128, body, carry0)
 
     H0 = jnp.zeros((1, KP), jnp.int32)
     E0 = jnp.full((1, KP), NEG, jnp.int32)
     H, E, best, bi, bk = jax.lax.fori_loop(
-        0, La, body, (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        0, -(-La // 128), outer,
+        (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
-    out = jnp.zeros((1, 128), jnp.int32)
-    out = out.at[0, 0].set(best).at[0, 1].set(bi).at[0, 2].set(bk)
+    # lane-select epilogue (scatter/.at[].set has no Mosaic lowering)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.where(lane == 0, best,
+                    jnp.where(lane == 1, bi,
+                              jnp.where(lane == 2, bk, 0)))
     out_ref[...] = out
 
 
@@ -129,7 +154,7 @@ def _run(a32, bw32, alen, jlo, jhi, W, interpret=False,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda p: (p,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, La), lambda p: (p, 0),
+            pl.BlockSpec((1, a32.shape[1]), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw32.shape[1]), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
@@ -148,9 +173,9 @@ def normalize_band(b: np.ndarray, blen: np.ndarray, diag: np.ndarray,
     (4 outside), plus normalised validity bounds (jlo, jhi)."""
     B = b.shape[0]
     K = 2 * W + 1
-    # the kernel reads KP (= K rounded up to the 128-lane tile) lanes per
-    # row: buffer must cover row La-1's full KP window
-    T = _round_up(La + _round_up(K, 128), 128)
+    # the kernel reads aligned tiles [i0, i0+KP) and [i0+KP, i0+KP+128)
+    # per 128-row block: buffer must cover the last block's second tile
+    T = _round_up(La, 128) + _round_up(K, 128) + 128
     t = np.arange(T)[None, :]
     src = t - W + np.asarray(diag)[:, None]
     ok = (src >= 0) & (src < np.asarray(blen)[:, None])
@@ -173,6 +198,9 @@ def banded_sw_score(a, b, alen, blen, diag, W,
     """
     a = np.asarray(a)
     B, La = a.shape
+    lap = _round_up(La, 128)
+    if lap != La:
+        a = np.pad(a, ((0, 0), (0, lap - La)), constant_values=4)
     bwin, jlo, jhi = normalize_band(np.asarray(b), blen, diag, La, W)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
