@@ -27,14 +27,20 @@ REF_BIN = os.path.join(REPO, "refbuild", "bin", "biokanga")
 
 
 def tlen_stats(sam_path):
+    """One positive TLEN per QNAME, primary alignments only (ADVICE r3:
+    -M5 multi-hit/duplicate records doubled the distribution's n)."""
+    seen = set()
     tl = []
     with open(sam_path) as f:
         for line in f:
             if line.startswith("@"):
                 continue
             fld = line.split("\t")
+            if int(fld[1]) & 0x900:
+                continue
             t = int(fld[8])
-            if t > 0:
+            if t > 0 and fld[0] not in seen:
+                seen.add(fld[0])
                 tl.append(t)
     tl = np.asarray(tl, np.int64)
     if len(tl) == 0:
