@@ -103,7 +103,7 @@ def main() -> None:
     batch = 65536  # round-4 sweep: 65k beats 32k/131k through the tunnel
     #                (PERF.md round-4 section); uploads are 2-bit packed
     n_reads = 8 * batch  # divisible: one compiled shape, no ragged tail
-    epochs = 4  # report the best epoch: the tunneled chip's throughput
+    epochs = 6  # report the best epoch: the tunneled chip's throughput
     #             fluctuates ~2x run-to-run; min-time is the real capability
 
     seqs = random_genome([("chr", genome_len)], seed=42)
