@@ -86,6 +86,10 @@ def merge_two_pass(r_fwd: dict, r_alt: dict, lengths: np.ndarray,
         "is_rc": str_s[:, 0],
         "overflow": np.asarray(r_fwd["overflow"]) | np.asarray(
             r_alt["overflow"]),
+        "n_over": np.maximum(np.asarray(r_fwd["n_over"]),
+                             np.asarray(r_alt["n_over"])),
+        "cap_trunc": np.asarray(r_fwd["cap_trunc"]) | np.asarray(
+            r_alt["cap_trunc"]),
         # valid-hit masking as in the accept stage (align/pipeline.py):
         # rows beyond the per-read budget are not alignments
         "ml_loci": np.where(mm_s[:, :Ko] <= max_tot[:, None],

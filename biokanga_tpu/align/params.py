@@ -66,6 +66,13 @@ class AlignParams:
     # the reference's per-core iteration cap MaxIter=50000, SfxArrayV2.h:12)
     cand_per_core: int = 48
     rescue_cand_per_core: int = 1024
+    # progressive-sensitivity rescue ladder step 1: medium-width COMPLETE
+    # enumeration (cores with > rescue_mid_H occurrences still skipped) —
+    # the TPU form of the reference's over-occurring-seed suppression +
+    # sensitivity ladder (InitOverOccKMers / MaxIter, SfxArrayV2.h:12;
+    # progressive driver SfxArrayV2.cpp:7663-7760)
+    rescue_mid_H: int = 256
+    rescue_mid_cap: int = 1024
     # post-dedup unique-locus cap per strand; truncation raises the
     # overflow flag so affected reads go through the rescue pass
     max_cand_per_strand: int = 192

@@ -100,7 +100,8 @@ def _rc_reads(reads: jax.Array, lengths: jax.Array,
 
 
 def _strand_candidates(
-    didx_arrays, seq, dp: DerivedParams, H: int, cand_cap: int, owned=None
+    didx_arrays, seq, dp: DerivedParams, H: int, cand_cap: int, owned=None,
+    occ_skip: bool = False,
 ):
     """Candidate loci for one strand: (B, C) loci + validity, C <= cand_cap.
 
@@ -109,6 +110,18 @@ def _strand_candidates(
     mask) -> compact to the first cand_cap unique loci (invalid sentinels
     sort last, so slicing keeps all real candidates unless they exceed the
     cap, which raises the overflow flag -> rescue pass).
+
+    `occ_skip` — the over-occurring-seed rule (the TPU form of the
+    reference's InitOverOccKMers / MaxIter suppression, SfxArrayV2.h:12,
+    Blitz.cpp:1053): a core whose SA range exceeds H contributes ZERO
+    candidates instead of an arbitrary H-truncated prefix.  Enumeration
+    from the surviving cores is then COMPLETE, so accepts (best / margin /
+    instance counts over discovered hits) are exact for every hit that
+    exact-matches at least one non-over-occurring core — which is all the
+    reference itself sees under its per-core iteration cap.  Reads with a
+    skipped core still raise `overflow` and ladder through the rescue
+    passes (rescue_ladder).  occ_skip=False keeps the plain truncating
+    semantics (final rescue step, assembly overlap enumeration).
 
     `owned` (traced int32 scalar, optional): alignments must START below
     this local offset — the genome-range chunk ownership rule (loci in the
@@ -123,38 +136,33 @@ def _strand_candidates(
         core_len=dp.core_len, max_steps=max_steps,
     )
     size = end - start
-    overflow = size > H
+    # N-containing cores produce junk lookup ranges; they are already
+    # excluded from candidates below and must not count as over-occurring
+    overflow = (size > H) & (~has_n)
+    if occ_skip:
+        size = jnp.where(overflow, jnp.int32(0), size)
     # candidate runs are read with ALIGNED 64-int ROW gathers (measured:
     # vmap'd dynamic slices are ~25x slower than fixed-row gathers on
-    # TPU) and the true start extracted with static selects: first a
-    # 4-way select of the 16-aligned 64-int window, then a 16-way select
-    # for the fine offset. Requires H <= 48 here (cap checked by caller);
-    # wider rescue passes use the fallback slice path.
+    # TPU) and the true start extracted with static selects: a 4-way
+    # select of the 16-aligned (H+16)-wide window, then a 16-way select
+    # for the fine offset.  General for any H: nrows rows cover the worst
+    # 48 + (H+16) span; the pos table's MAX_CAND_PER_CORE (=4096) zero
+    # pad keeps the window in-bounds for H up to ~4000.
     R2 = pos_rows.shape[0]
-    if H <= 48:
-        r0 = jnp.clip(start >> 6, 0, R2 - 2)          # (B, S)
-        two = jnp.concatenate(
-            [pos_rows[r0], pos_rows[r0 + 1]], axis=-1
-        )  # (B, S, 128)
-        a16 = ((start & 63) >> 4)[..., None]          # 0..3
-        w64 = jnp.zeros(start.shape + (64,), dtype=jnp.int32)
-        for t in range(4):
-            w64 = jnp.where(a16 == t, two[..., 16 * t : 16 * t + 64], w64)
-        frac = (start & 15)[..., None]
-        pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
-        for t in range(16):
-            pos = jnp.where(frac == t, w64[..., t : t + H], pos)
-    else:
-        pos_flat = pos_rows.reshape(-1)
-        Hw = H + 16
-        a_start = (start & ~jnp.int32(15)).reshape(-1)
-        wide = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(pos_flat, (s,), (Hw,))
-        )(a_start).reshape(start.shape + (Hw,))
-        frac = (start & 15)[..., None]
-        pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
-        for t in range(16):
-            pos = jnp.where(frac == t, wide[..., t : t + H], pos)
+    nrows = (H + 127) // 64
+    r0 = jnp.clip(start >> 6, 0, R2 - nrows)          # (B, S)
+    wide = jnp.concatenate(
+        [pos_rows[r0 + t] for t in range(nrows)], axis=-1
+    )  # (B, S, 64*nrows)
+    a16 = ((start & 63) >> 4)[..., None]              # 0..3
+    WL = H + 16
+    w64 = jnp.zeros(start.shape + (WL,), dtype=jnp.int32)
+    for t in range(4):
+        w64 = jnp.where(a16 == t, wide[..., 16 * t : 16 * t + WL], w64)
+    frac = (start & 15)[..., None]
+    pos = jnp.zeros(start.shape + (H,), dtype=jnp.int32)
+    for t in range(16):
+        pos = jnp.where(frac == t, w64[..., t : t + H], pos)
     j = jnp.arange(H, dtype=jnp.int32)
     in_range = j[None, None, :] < jnp.minimum(size, H)[..., None]
     offs = jnp.asarray(dp.offsets, dtype=jnp.int32)
@@ -185,17 +193,26 @@ def _strand_candidates(
     C = min(cand_cap, S * H)
     if C < S * H:
         trunc = jnp.any(v[:, C:], axis=1)
-        overflow_any = jnp.any(overflow, axis=1) | trunc
         srt, v = srt[:, :C], v[:, :C]
     else:
-        overflow_any = jnp.any(overflow, axis=1)
-    return srt, v, overflow_any
+        trunc = jnp.zeros((B,), dtype=bool)
+    if occ_skip:
+        # n_over: per-read count of SKIPPED (over-occurring) cores — feeds
+        # the skip-aware pigeonhole resolution bound (exact_resolved):
+        # enumeration is complete for every hit with mm <= n_disjoint -
+        # n_over - 1, so accepts within that bound are exact
+        n_over = jnp.sum(overflow.astype(jnp.int32), axis=1)
+    else:
+        n_over = jnp.zeros((B,), dtype=jnp.int32)
+        trunc = trunc | jnp.any(overflow, axis=1)
+    return srt, v, n_over, trunc
 
 
 def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
                reads, lengths, owned, packed, *, ap: AlignParams,
                dp: DerivedParams, H: int, cand_cap: int, strand: str,
-               uniform: bool, lut_bases: int, max_steps: int):
+               uniform: bool, lut_bases: int, max_steps: int,
+               occ_skip: bool = True):
     """The full per-index alignment dataflow as one traced function —
     shared verbatim by the single-device engine (AlignEngine) and the
     multi-chip sharded step (parallel/sharded.py), so their per-chunk
@@ -219,10 +236,11 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
     if strand in ("both", "antisense"):
         strands.append((_rc_reads(reads, lengths, uniform), True))
 
-    loci_parts, valid_parts, mm_parts, ovf = [], [], [], None
+    loci_parts, valid_parts, mm_parts = [], [], []
+    n_over = trunc = None
     for seq, is_rc in strands:
-        loci, vmask, o = _strand_candidates(arrays, seq, dp, H,
-                                            cand_cap, owned)
+        loci, vmask, s_over, s_trunc = _strand_candidates(
+            arrays, seq, dp, H, cand_cap, owned, occ_skip=occ_skip)
         if packed is not None:
             rcodes, rnlane = pack_reads(seq, lengths)
             mm = hamming_extend_packed(
@@ -236,7 +254,10 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
         loci_parts.append(loci)
         valid_parts.append(vmask)
         mm_parts.append(mm)
-        ovf = o if ovf is None else (ovf | o)
+        # a hidden hit lives on ONE strand, so the pigeonhole bound needs
+        # the worst single strand: max of per-strand skipped-core counts
+        n_over = s_over if n_over is None else jnp.maximum(n_over, s_over)
+        trunc = s_trunc if trunc is None else (trunc | s_trunc)
 
     loci_all = jnp.concatenate(loci_parts, axis=1)
     mm_all = jnp.concatenate(mm_parts, axis=1)
@@ -305,7 +326,9 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
         "inst": inst,
         "locus": locus,
         "is_rc": is_rc_hit,
-        "overflow": ovf,
+        "overflow": (n_over > 0) | trunc,
+        "n_over": n_over,
+        "cap_trunc": trunc,
         "ml_loci": jnp.where(ml_ok, s_loci[:K], -1).T,
         "ml_mm": jnp.where(
             ml_ok, jnp.minimum(ml_mm_rows, 255), 255).astype(jnp.uint8).T,
@@ -323,14 +346,14 @@ class AlignEngine:
 
     def _fn(self, dp: DerivedParams, H: int, strand: str, use_packed: bool,
             cand_cap: int, uniform: bool, upload: str = "raw",
-            read_len: int = 0):
+            read_len: int = 0, occ_skip: bool = True):
         has_owned = self.didx.owned is not None
         pk0 = self.didx.packed if use_packed else None
         key = (dp, H, strand, use_packed, cand_cap, uniform, has_owned,
                pk0.length if pk0 is not None else 0,
                pk0 is not None and pk0.has_n,
                self.didx.lut_bases, self.didx.max_bsearch_steps,
-               upload, read_len)
+               upload, read_len, occ_skip)
         if key in self._jitted:
             return self._jitted[key]
         didx = self.didx
@@ -365,6 +388,7 @@ class AlignEngine:
                 reads, lengths, owned, packed,
                 ap=ap, dp=dp, H=H, cand_cap=cand_cap, strand=strand,
                 uniform=uniform, lut_bases=lut_bases, max_steps=max_steps,
+                occ_skip=occ_skip,
             )
 
         jitted = jax.jit(run)
@@ -372,8 +396,14 @@ class AlignEngine:
         return jitted
 
     def launch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
-               cand_cap=None, dp=None):
-        """Dispatch one batch asynchronously; returns (device dict, dp)."""
+               cand_cap=None, dp=None, occ_skip: bool = True,
+               uniform: bool | None = None):
+        """Dispatch one batch asynchronously; returns (device dict, dp).
+
+        `uniform=None` derives the all-rows-full-length flag from the
+        data; passing False pins the general (per-row roll) graph so
+        padded and full chunks share ONE compiled shape (align_many /
+        rescue_ladder keep their graph count constant this way)."""
         B, L = reads.shape
         if dp is None:
             dp = self.params.derive(int(L), self.didx.total_len)
@@ -387,7 +417,8 @@ class AlignEngine:
         if cand_cap is None:
             cand_cap = self.params.max_cand_per_strand
         use_packed = self.didx.packed is not None and L <= MAX_PACKED_READ_LEN
-        uniform = bool(np.all(lengths == L))
+        if uniform is None:
+            uniform = bool(np.all(lengths == L))
         packed_up = _host_pack_2bit(np.asarray(reads))
         if packed_up is None:
             upload, up_args = "raw", (jnp.asarray(reads),)
@@ -399,7 +430,8 @@ class AlignEngine:
                 upload = "p2n"
                 up_args = (jnp.asarray(codes2), jnp.asarray(nmask))
         fn = self._fn(dp, H, self.params.strand, use_packed, int(cand_cap),
-                      uniform, upload=upload, read_len=int(L))
+                      uniform, upload=upload, read_len=int(L),
+                      occ_skip=occ_skip)
         d = self.didx
         args = (
             d.genome, d.entry_starts, d.pos_rows, d.key_hi, d.key_lo, d.lut,
@@ -415,9 +447,11 @@ class AlignEngine:
         return out, dp
 
     def align_batch(self, reads: np.ndarray, lengths: np.ndarray, H=None,
-                    cand_cap=None, dp=None):
+                    cand_cap=None, dp=None, occ_skip: bool = True,
+                    uniform: bool | None = None):
         """reads: (B, L) int8 host array. Returns host-side result dict."""
-        out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap, dp=dp)
+        out, dp = self.launch(reads, lengths, H=H, cand_cap=cand_cap, dp=dp,
+                              occ_skip=occ_skip, uniform=uniform)
         res = {k: np.array(v) for k, v in jax.device_get(out).items()}
         res["derived"] = dp
         return res
@@ -452,19 +486,22 @@ class AlignEngine:
         if fp is None:
             self.rescue_pass(reads, lengths, res)
             return res
+        # skip-aware resolution: a skipped (over-occurring) core weakens
+        # the pigeonhole guarantee by one, so the bound charges n_over
+        # (exactly the classic exact_resolved rule applied to long cores)
         bound = fp.resolved_bound(lengths, self.params.min_edit_dist)
-        resolved = (res["best_mm"].astype(np.int32) <= bound) & (
-            ~res["overflow"]
-        )
+        resolved = (
+            res["best_mm"].astype(np.int32) + res["n_over"] <= bound
+        ) & (~res["cap_trunc"])
         res["overflow"] = np.zeros_like(res["overflow"])
+        res["n_over"] = np.zeros_like(res["n_over"])
+        res["cap_trunc"] = np.zeros_like(res["cap_trunc"])
         rows = np.nonzero(~resolved)[0]
         if len(rows):
             sub_r, sub_l = pad_rows(reads[rows], lengths[rows])
             sub = self.align_batch(sub_r, sub_l)
             self.rescue_pass(sub_r, sub_l, sub)
-            for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
-                      "locus", "is_rc", "overflow", "ml_loci", "ml_mm",
-                      "ml_rc"):
+            for k in RESULT_KEYS + ("overflow", "n_over", "cap_trunc"):
                 res[k][rows] = sub[k][: len(rows)]
         return res
 
@@ -509,6 +546,82 @@ class AlignEngine:
         if pending is not None:
             yield self.finish_primary(pending)
 
+    def align_many(self, blocks):
+        """Full align_with_rescue semantics over MANY blocks with
+        cross-block batching of the classic and rescue stages: fast
+        passes stream double-buffered, then ALL unresolved reads
+        concatenate into fixed 16k-row classic dispatches, then ONE
+        rescue ladder over the classic residue.  Per-read results are
+        identical to align_with_rescue (the rules are per-read); the win
+        is one compiled shape per stage and ~8x fewer host syncs — this
+        is what makes repeat-dense genomes fast (BENCH_REPEAT).
+
+        blocks: list of (reads, lengths); returns list of result dicts.
+        """
+        fast = []
+        pend = None
+        for reads, lengths in blocks:
+            st = self.launch_fast(reads, lengths)
+            if pend is not None:
+                fast.append(self.finish_fast(pend))
+            pend = st
+        if pend is not None:
+            fast.append(self.finish_fast(pend))
+        med = self.params.min_edit_dist
+        unres = []
+        for b, ((reads, lengths), res) in enumerate(zip(blocks, fast)):
+            fp = self._fast_params(reads)
+            if fp is None:
+                rows = np.nonzero(inexact_rows(res, lengths, med))[0]
+            else:
+                bound = fp.resolved_bound(lengths, med)
+                resolved = (
+                    res["best_mm"].astype(np.int32) + res["n_over"]
+                    <= bound
+                ) & (~res["cap_trunc"])
+                rows = np.nonzero(~resolved)[0]
+            res["overflow"][:] = False
+            res["n_over"][:] = 0
+            res["cap_trunc"][:] = False
+            if len(rows):
+                unres.append((b, rows))
+        if unres:
+            sub_r = np.concatenate([blocks[b][0][r] for b, r in unres])
+            sub_l = np.concatenate([blocks[b][1][r] for b, r in unres])
+            CH = 16384
+            parts, pend = [], None
+            for s in range(0, len(sub_r), CH):
+                k_n = min(CH, len(sub_r) - s)
+                r = np.full((CH, sub_r.shape[1]), 4, sub_r.dtype)
+                l = np.zeros(CH, sub_l.dtype)
+                r[:k_n] = sub_r[s: s + k_n]
+                l[:k_n] = sub_l[s: s + k_n]
+                st = self.launch(r, l, uniform=False)
+                if pend is not None:
+                    o, dp = pend
+                    d = {k: np.array(v)
+                         for k, v in jax.device_get(o).items()}
+                    d["derived"] = dp
+                    parts.append(d)
+                pend = (st[0], st[1])
+            o, dp = pend
+            d = {k: np.array(v) for k, v in jax.device_get(o).items()}
+            d["derived"] = dp
+            parts.append(d)
+            ns = [min(CH, len(sub_r) - s)
+                  for s in range(0, len(sub_r), CH)]
+            sub = {k: np.concatenate(
+                [p[k][:n] for p, n in zip(parts, ns)])
+                for k in parts[0] if k != "derived"}
+            sub["derived"] = parts[0]["derived"]
+            self.rescue_pass(sub_r, sub_l, sub)
+            ofs = 0
+            for b, rows in unres:
+                for k in RESULT_KEYS + _LADDER_KEYS:
+                    fast[b][k][rows] = sub[k][ofs: ofs + len(rows)]
+                ofs += len(rows)
+        return fast
+
     def align_with_rescue(self, reads: np.ndarray, lengths: np.ndarray):
         """Primary pass + wider rescue pass for overflowed, unaccepted reads
         (the batched analogue of the reference's progressive sensitivity in
@@ -525,30 +638,122 @@ class AlignEngine:
 
     def rescue_pass(self, reads: np.ndarray, lengths: np.ndarray,
                     res: dict) -> None:
-        """Apply the wider rescue pass in place to a primary result."""
-        need = (~res["unique"]) & res["overflow"]
-        if need.any():
-            rows = np.nonzero(need)[0]
-            Hr = self.params.rescue_cand_per_core
-            # fixed 512-row dispatches (padded with empty reads): one
-            # compiled shape regardless of how many reads overflowed, and
-            # the wide-H extension temp stays bounded (unbounded cand_cap
-            # at a large row count OOMs a 16 GB chip)
-            CH = 512
-            cap = 8 * self.params.max_cand_per_strand
-            for s in range(0, len(rows), CH):
-                sub_rows = rows[s: s + CH]
-                k_n = len(sub_rows)
-                r = np.full((CH, reads.shape[1]), 4, reads.dtype)
-                l = np.zeros(CH, lengths.dtype)
-                r[:k_n] = reads[sub_rows]
-                l[:k_n] = lengths[sub_rows]
-                sub_r, sub_l = pad_rows(r, l)
-                sub = self.align_batch(sub_r, sub_l, H=Hr, cand_cap=cap)
-                for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
-                          "locus", "is_rc", "ml_loci", "ml_mm", "ml_rc"):
-                    res[k][sub_rows] = sub[k][:k_n]
+        """Apply the progressive rescue ladder in place (rescue_ladder)."""
+        def run(r, l, H, cap, skip):
+            return self.align_batch(r, l, H=H, cand_cap=cap, occ_skip=skip,
+                                    uniform=False)
+
+        return rescue_ladder(run, reads, lengths, res, self.params)
+
+    def warm_ladder(self, L: int, classic_rows: int = 16384) -> None:
+        """Pre-compile the classic + rescue-ladder graph shapes with
+        empty dispatches so a production run's timed region contains no
+        compilation (the ladder shapes are canonical: see rescue_ladder
+        fixed-shape dispatch notes)."""
+        p = self.params
+        for rows, H, cap, skip in (
+            (classic_rows, None, None, True),
+            (2048, p.rescue_mid_H, p.rescue_mid_cap, True),
+            (512, p.rescue_cand_per_core, 8 * p.max_cand_per_strand,
+             False),
+        ):
+            r = np.full((rows, L), 4, np.int8)
+            l = np.zeros(rows, np.int32)
+            self.align_batch(r, l, H=H, cand_cap=cap, occ_skip=skip,
+                             uniform=False)
+
+
+RESULT_KEYS = ("unique", "any_hit", "best_mm", "next_mm", "inst",
+               "locus", "is_rc", "ml_loci", "ml_mm", "ml_rc")
+_LADDER_KEYS = ("overflow", "n_over", "cap_trunc")
+
+
+def inexact_rows(res: dict, lengths, min_edit_dist: int):
+    """Rows whose result is NOT provably exact under the skip-aware
+    pigeonhole bound (see _strand_candidates occ_skip):
+
+        exact  iff  no candidate-cap truncation AND
+                    (no core skipped  OR
+                     best_mm + n_over + MMDelta <= length // core_len)
+
+    With no skips the enumeration was complete, so even a no-hit row is
+    exactly 'unmapped'.  With skips, any hidden hit has mm >=
+    n_disjoint - n_over, so results within the bound keep their best /
+    margin / tied-best instances.  Inexact rows — including ones
+    currently flagged unique — ladder through deeper rescue passes.
+    """
+    n = np.asarray(lengths, np.int32) // np.int32(res["derived"].core_len)
+    best = res["best_mm"].astype(np.int32)
+    exact = (~res["cap_trunc"]) & (
+        (res["n_over"] == 0)
+        | (best + res["n_over"] + np.int32(min_edit_dist) <= n)
+    )
+    return ~exact
+
+
+def rescue_ladder(run, reads, lengths, res: dict, params: AlignParams,
+                  extra_keys=()):
+    """Progressive-sensitivity rescue for INEXACT reads — the batched
+    form of the reference's ladder (CSfxArrayV3::AlignReads,
+    SfxArrayV2.cpp:7663-7760) with its over-occurring-seed suppression
+    (InitOverOccKMers / MaxIter, SfxArrayV2.h:12):
+
+      step 1  medium-width COMPLETE enumeration (occ_skip at
+              rescue_mid_H): exact accepts for moderately repetitive
+              reads, dispatched in large batches;
+      step 2  full-width TRUNCATING pass (first rescue_cand_per_core SA
+              positions per core) for the still-inexact residue — except
+              reads already classified excessive-multi at mm==0, where
+              deeper enumeration can only add ties (the reference drops
+              these as >MaxMulti hits, Aligner.cpp:5109).
+
+    `run(reads, lengths, H, cand_cap, occ_skip) -> host result dict` is
+    the dispatch closure (single-engine align_batch or the sharded SPMD
+    step), so the ladder is identical across drivers.  Mutates `res` in
+    place and returns it.
+    """
+    keys = RESULT_KEYS + _LADDER_KEYS + tuple(extra_keys)
+    p = params
+    need = inexact_rows(res, lengths, p.min_edit_dist)
+    if not need.any():
         return res
+    if p.rescue_mid_H > p.cand_per_core:
+        rows = np.nonzero(need)[0]
+        CH1 = 2048
+        for s in range(0, len(rows), CH1):
+            sub_rows = rows[s: s + CH1]
+            k_n = len(sub_rows)
+            # fixed-shape dispatches (tail padded to CH1 with empty
+            # reads): every ladder invocation reuses ONE compiled graph
+            sub_r = np.full((CH1, reads.shape[1]), 4, reads.dtype)
+            sub_l = np.zeros(CH1, lengths.dtype)
+            sub_r[:k_n] = reads[sub_rows]
+            sub_l[:k_n] = lengths[sub_rows]
+            sub = run(sub_r, sub_l, p.rescue_mid_H, p.rescue_mid_cap, True)
+            for k in keys:
+                res[k][sub_rows] = sub[k][:k_n]
+    multi0 = (res["any_hit"] & (res["best_mm"] == 0)
+              & (res["inst"] > p.max_multi))
+    need2 = inexact_rows(res, lengths, p.min_edit_dist) & ~multi0
+    if need2.any():
+        rows = np.nonzero(need2)[0]
+        # fixed 512-row dispatches (padded with empty reads): one compiled
+        # shape regardless of how many reads overflowed, and the wide-H
+        # extension temp stays bounded (unbounded cand_cap at a large row
+        # count OOMs a 16 GB chip)
+        CH = 512
+        cap = 8 * p.max_cand_per_strand
+        for s in range(0, len(rows), CH):
+            sub_rows = rows[s: s + CH]
+            k_n = len(sub_rows)
+            r = np.full((CH, reads.shape[1]), 4, reads.dtype)
+            l = np.zeros(CH, lengths.dtype)
+            r[:k_n] = reads[sub_rows]
+            l[:k_n] = lengths[sub_rows]
+            sub = run(r, l, p.rescue_cand_per_core, cap, False)
+            for k in keys:
+                res[k][sub_rows] = sub[k][:k_n]
+    return res
 
 
 class ExtendedAligner:
@@ -579,8 +784,8 @@ class ExtendedAligner:
 
             def run(reads, lengths):
                 seq = _rc_reads(reads, lengths, uniform) if strand_rc else reads
-                loci, vmask, _ = _strand_candidates(arrays, seq, dp, H,
-                                                    cand_cap)
+                loci, vmask, _, _ = _strand_candidates(
+                    arrays, seq, dp, H, cand_cap, occ_skip=True)
                 rcodes, rnlane = pack_reads(seq, lengths)
                 return loci, vmask, rcodes, rnlane
 

@@ -93,7 +93,8 @@ def _sweep_batch(key_hi, key_lo, lut, pos_rows,
                        core_len=core_len, core_delta=core_len,
                        max_slides=len(offsets), offsets=tuple(offsets))
     arrays = (key_hi, key_lo, lut, pos_rows, lut_bases, max_steps)
-    diag, valid, _ovf = _strand_candidates(arrays, qseq, dp, H, cap)
+    diag, valid, _n_over, _trunc = _strand_candidates(arrays, qseq, dp, H,
+                                                      cap)
     ent = jnp.searchsorted(starts32, diag, side="right") - 1
     entc = jnp.clip(ent, 0, lens32.shape[0] - 1)
     shift = diag - starts32[entc]

@@ -63,6 +63,11 @@ def merge_chunk_results(
          for k, p in enumerate(partials)]
     )
     ovf = np.any([p["overflow"] for p in partials], axis=0)
+    # skip-aware exactness composition: a hidden hit lives in ONE chunk,
+    # so the per-read pigeonhole charge is the worst chunk's skip count;
+    # cap truncation anywhere taints the row
+    n_over = np.max([p["n_over"] for p in partials], axis=0)
+    cap_trunc = np.any([p["cap_trunc"] for p in partials], axis=0)
 
     # winner chunk by lexicographic (mm, strand, global locus)
     okey = best * 2 + rc.astype(np.int32)          # (K, B)
@@ -125,6 +130,8 @@ def merge_chunk_results(
         "locus": cur_loc,
         "is_rc": (cur_key & 1).astype(bool),
         "overflow": ovf,
+        "n_over": n_over,
+        "cap_trunc": cap_trunc,
         "ml_loci": tk(ml_loc),
         "ml_mm": tk(ml_mm),
         "ml_rc": tk(ml_rc),
@@ -487,9 +494,9 @@ def two_level_chunk_sweep(ca, blocks, checkpoint_dir=None, progress=None):
             rows = np.nonzero(res["overflow"])[0]
         else:
             bound = fp.resolved_bound(lengths, params.min_edit_dist)
-            resolved = (res["best_mm"].astype(np.int32) <= bound) & (
-                ~res["overflow"]
-            )
+            resolved = (
+                res["best_mm"].astype(np.int32) + res["n_over"] <= bound
+            ) & (~res["cap_trunc"])
             rows = np.nonzero(~resolved)[0]
         if len(rows):
             unresolved.append((b, rows))
@@ -533,7 +540,8 @@ def two_level_chunk_sweep(ca, blocks, checkpoint_dir=None, progress=None):
         ofs = 0
         for b, rows in unresolved:
             for key in ("unique", "any_hit", "best_mm", "next_mm", "inst",
-                        "locus", "is_rc", "overflow", "ml_loci", "ml_mm",
+                        "locus", "is_rc", "overflow", "n_over", "cap_trunc",
+                        "ml_loci", "ml_mm",
                         "ml_rc"):
                 merged[b][key][rows] = sub_merged[key][ofs: ofs + len(rows)]
             ofs += len(rows)

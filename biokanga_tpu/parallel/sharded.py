@@ -147,6 +147,7 @@ def build_sharded_align_fn(
     H: int,
     cand_cap: int | None = None,
     uniform: bool = True,
+    occ_skip: bool = True,
 ):
     """Jitted SPMD align step: (reads (B, L) sharded over dp, lengths (B,))
     -> merged per-read result dict (replicated over sp, sharded over dp)
@@ -171,7 +172,7 @@ def build_sharded_align_fn(
             ap=ap, dp=dp_params, H=H,
             cand_cap=cand_cap or ap.max_cand_per_strand,
             strand=ap.strand, uniform=uniform,
-            lut_bases=lut_bases, max_steps=max_steps,
+            lut_bases=lut_bases, max_steps=max_steps, occ_skip=occ_skip,
         )
 
         # ---- exact merge over 'sp' (device twin of
@@ -183,6 +184,10 @@ def build_sharded_align_fn(
         rc = g(res["is_rc"].astype(jnp.int32))
         loc = g(res["locus"])
         ovf = jnp.any(g(res["overflow"]), axis=0)
+        # exactness composition mirrors the host merge: worst-chunk skip
+        # count, any-chunk cap truncation
+        n_over = jnp.max(g(res["n_over"]), axis=0)
+        cap_trunc = jnp.any(g(res["cap_trunc"]), axis=0)
 
         okey = best * 2 + rc
         cur_key = okey[0]
@@ -239,6 +244,8 @@ def build_sharded_align_fn(
             "chunk": kstar,
             "is_rc": (cur_key & 1).astype(jnp.bool_),
             "overflow": ovf,
+            "n_over": n_over,
+            "cap_trunc": cap_trunc,
             "ml_loci": s_loc[:Kml].T,
             "ml_chunk": s_chunk[:Kml].T,
             "ml_mm": jnp.minimum(s_key[:Kml] >> 1, 255).astype(jnp.uint8).T,
@@ -248,6 +255,7 @@ def build_sharded_align_fn(
     vec = {"unique": P("dp"), "any_hit": P("dp"), "best_mm": P("dp"),
            "next_mm": P("dp"), "inst": P("dp"), "locus": P("dp"),
            "chunk": P("dp"), "is_rc": P("dp"), "overflow": P("dp"),
+           "n_over": P("dp"), "cap_trunc": P("dp"),
            "ml_loci": P("dp", None), "ml_chunk": P("dp", None),
            "ml_mm": P("dp", None), "ml_rc": P("dp", None)}
     mapped = shard_map(
@@ -323,8 +331,9 @@ def build_sharded_fallthrough_fn(
             # NO owned mask here: a junction's 3' segment may live in the
             # overlap tail; duplicate finds across shards merge by score
             # (earlier shard wins ties), matching the chunked driver
-            loci, vmask, _ = _strand_candidates(
+            loci, vmask, _, _ = _strand_candidates(
                 arrays, seq, dp_params, ap.cand_per_core, cand_cap,
+                occ_skip=True,
             )
             rcodes, rnlane = pack_reads(seq, lengths)
             outs = []
@@ -494,23 +503,24 @@ class ShardedAligner:
         self.sidx = shard_chunked_index(ci, mesh)
         self._fns = {}
 
-    def _fn(self, L: int, H: int, cand_cap: int, uniform: bool):
-        key = (L, H, cand_cap, uniform)
+    def _fn(self, L: int, H: int, cand_cap: int, uniform: bool,
+            occ_skip: bool = True):
+        key = (L, H, cand_cap, uniform, occ_skip)
         if key not in self._fns:
             dp = self.params.derive(L, self.sidx.total_len)
             self._fns[key] = (
                 build_sharded_align_fn(
                     self.mesh, self.sidx, self.params, dp, H,
-                    cand_cap=cand_cap, uniform=uniform,
+                    cand_cap=cand_cap, uniform=uniform, occ_skip=occ_skip,
                 ),
                 dp,
             )
         return self._fns[key]
 
-    def _run(self, reads, lengths, H, cand_cap):
+    def _run(self, reads, lengths, H, cand_cap, occ_skip: bool = True):
         B, L = reads.shape
         uniform = bool(np.all(lengths == L))
-        fn, dp = self._fn(int(L), int(H), int(cand_cap), uniform)
+        fn, dp = self._fn(int(L), int(H), int(cand_cap), uniform, occ_skip)
         out = fn(jnp.asarray(reads), jnp.asarray(lengths))
         # np.array (copy): device_get views are read-only and the rescue/
         # fall-through passes mutate these in place
@@ -522,24 +532,12 @@ class ShardedAligner:
         ap = self.params
         res = self._run(reads, lengths, ap.cand_per_core,
                         ap.max_cand_per_strand)
-        need = (~res["unique"]) & res["overflow"]
-        if need.any():
-            n_dp = self.mesh.shape["dp"]
-            rows = np.nonzero(need)[0]
-            CH = max(512, n_dp * 64)
-            cap = 8 * ap.max_cand_per_strand
-            for s in range(0, len(rows), CH):
-                sub_rows = rows[s : s + CH]
-                k_n = len(sub_rows)
-                r = np.full((CH, reads.shape[1]), 4, reads.dtype)
-                l = np.zeros(CH, lengths.dtype)
-                r[:k_n] = reads[sub_rows]
-                l[:k_n] = lengths[sub_rows]
-                sub = self._run(r, l, ap.rescue_cand_per_core, cap)
-                for k in ("unique", "any_hit", "best_mm", "next_mm", "inst",
-                          "locus", "chunk", "is_rc", "ml_loci", "ml_chunk",
-                          "ml_mm", "ml_rc"):
-                    res[k][sub_rows] = sub[k][:k_n]
+        from ..align.pipeline import rescue_ladder
+
+        rescue_ladder(
+            lambda r, l, H, cap, skip: self._run(r, l, H, cap, skip),
+            reads, lengths, res, ap, extra_keys=("chunk", "ml_chunk"),
+        )
         # compose int64 global loci from (chunk, local)
         bases = self.sidx.bases
         res["locus"] = bases[res["chunk"]] + res["locus"].astype(np.int64)

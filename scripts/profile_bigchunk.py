@@ -81,7 +81,7 @@ def main():
         lambda kh, kl, lt, pr, r: _strand_candidates(
             (kh, kl, lt, pr, didx.lut_bases, didx.max_bsearch_steps),
             r, dp, H, cap))
-    t, (loci, vmask, ovf) = timeit(
+    t, (loci, vmask, novr, ovf) = timeit(
         f_cand, didx.key_hi, didx.key_lo, didx.lut, didx.pos_rows, reads_d)
     nv = np.asarray(vmask).sum(axis=1)
     print(f"candidates (1 strand): {t*1e3:8.1f} ms   "

@@ -63,7 +63,7 @@ def main():
     )
     print(f"candidates(all): {timeit(f_cand, reads_d)*1e3:8.1f} ms")
 
-    loci, vmask, ovf = f_cand(reads_d)
+    loci, vmask, novr, ovf = f_cand(reads_d)
     n_valid = int(np.asarray(vmask).sum(axis=1).mean())
     print(f"  mean valid candidates/read/strand: {n_valid} (cap {cap})")
 
