@@ -275,33 +275,54 @@ def remove_contained(seqs: list[np.ndarray],
     eng = AlignEngine(didx, AlignParams(max_subs_per100=max(1, int(
         max_subs_per_100)), min_edit_dist=0))
     keep = np.ones(len(seqs), bool)
-    # probe in blocks of equal padded width
-    L = max(len(s) for s in seqs)
     B = len(order)
-    mat = np.full((B, L), 4, np.int8)
-    pl = np.zeros(B, np.int32)
-    for j, i in enumerate(order):
-        mat[j, : len(seqs[i])] = seqs[i]
-        pl[j] = len(seqs[i])
-    CH = 4096
-    for s0 in range(0, B, CH):
-        nb = min(CH, B - s0)
-        sub, sl = pad_rows(mat[s0 : s0 + CH], pl[s0 : s0 + CH])
-        res = eng.align_batch(sub, sl)
-        mlm = res["ml_mm"][:nb].astype(np.int64)       # (nb, K) top hits
-        mll = res["ml_loci"][:nb]
-        mtm = np.maximum(pl[s0 : s0 + nb] * max_mm // 100, 1)
-        ent = np.searchsorted(starts, mll, side="right") - 1
-        ent = np.clip(ent, 0, B - 1)
-        gsel = np.arange(s0, s0 + nb)[:, None]
-        # contained in a longer target, or an equal-length EARLIER one
-        # (order is length-descending, so ties keep the first)
-        contained = (
-            (mlm <= mtm[:, None]) & (ent != gsel)
-            & ((lens[ent] > lens[gsel])
-               | ((lens[ent] == lens[gsel]) & (ent < gsel)))
-        ).any(axis=1)
-        keep[order[s0 : s0 + nb][contained]] = False
+    # probe in LENGTH BUCKETS (pow2 padded width): padding every probe
+    # to the global max length made the post-merge phase build
+    # (n_seqs x longest_contig) matrices — the round-4 2 Mbp HBM OOM —
+    # and the per-bucket chunk row count bounds the extension temp
+    BUDGET = 1 << 31
+    j = 0
+    while j < B:
+        Lb = 256
+        while Lb < int(lens[j]):
+            Lb *= 2
+        # lens is DESCENDING: this bucket ends where lengths drop into
+        # the next pow2 (the floor bucket 256 takes everything shorter)
+        j1 = j
+        while j1 < B and (Lb == 256 or int(lens[j1]) > Lb // 2):
+            j1 += 1
+        CH = int(min(4096, max(64, BUDGET // (Lb * 512))))
+        for s0 in range(j, j1, CH):
+            nb = min(CH, j1 - s0)
+            mat = np.full((nb, Lb), 4, np.int8)
+            pl = np.zeros(nb, np.int32)
+            for r, oi in enumerate(order[s0: s0 + nb]):
+                mat[r, : len(seqs[oi])] = seqs[oi]
+                pl[r] = len(seqs[oi])
+            sub, sl = pad_rows(mat, pl)
+            res = eng.align_batch(sub, sl)
+            mlm = res["ml_mm"][:nb].astype(np.int64)   # (nb, K) top hits
+            mll = res["ml_loci"][:nb]
+            # the aligner's per-read budget caps at 63 mismatches
+            # (C_MAX_TOT_ALLOWED_SUBS) and masks over-budget rows to
+            # (ml_mm=255, ml_loci=-1); treating those SENTINEL rows as
+            # hits was the round-4 over-drop (every >25.4 kb contig
+            # "contained" via a 255 <= length-proportional budget) —
+            # containment needs a VALID hit within min(budget, 63)
+            valid_hit = (mll >= 0) & (mlm < 255)
+            mtm = np.minimum(np.maximum(pl * max_mm // 100, 1), 63)
+            ent = np.searchsorted(starts, mll, side="right") - 1
+            ent = np.clip(ent, 0, B - 1)
+            gsel = np.arange(s0, s0 + nb)[:, None]
+            # contained in a longer target, or an equal-length EARLIER
+            # one (order is length-descending, so ties keep the first)
+            contained = (
+                valid_hit & (mlm <= mtm[:, None]) & (ent != gsel)
+                & ((lens[ent] > lens[gsel])
+                   | ((lens[ent] == lens[gsel]) & (ent < gsel)))
+            ).any(axis=1)
+            keep[order[s0: s0 + nb][contained]] = False
+        j = j1
     return [s for s, k in zip(seqs, keep) if k]
 
 

@@ -2872,6 +2872,33 @@ SUBCOMMANDS = {
 }
 
 
+# subcommands whose own parser defines -q/--sumrslts and logs a richer
+# row than the generic dispatch wrapper would
+_OWN_SUMRSLTS = {"index", "align"}
+
+
+def _extract_sumrslts(argv: list[str]):
+    """Pop a -q/--sumrslts DB path from a subcommand's argv (the
+    dispatch-level half of the reference's gExperimentID globals: every
+    subprocess logs experiment/process/params/results,
+    biokanga/biokanga.cpp:134-137, SQLiteSummaries.cpp:600,719,1057)."""
+    out, db = [], None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-q", "--sumrslts") and i + 1 < len(argv):
+            db = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("--sumrslts="):
+            db = a.split("=", 1)[1]
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    return out, db
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = _expand_response_files(list(sys.argv[1:] if argv is None else argv))
     if not argv or argv[0] in ("-h", "--help"):
@@ -2888,7 +2915,27 @@ def main(argv: list[str] | None = None) -> int:
     from .utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    return SUBCOMMANDS[cmd](argv[1:])
+    sub_argv = argv[1:]
+    db_path = None
+    if cmd not in _OWN_SUMRSLTS:
+        sub_argv, db_path = _extract_sumrslts(sub_argv)
+    if db_path is None:
+        return SUBCOMMANDS[cmd](sub_argv)
+    import time as _time
+
+    t0 = _time.monotonic()
+    rc = 1
+    try:
+        rc = SUBCOMMANDS[cmd](sub_argv)
+        return rc
+    finally:
+        from .utils.sqlite_summaries import SQLiteSummaries
+
+        db = SQLiteSummaries(db_path)
+        db.log_run(cmd, {"argv": " ".join(sub_argv)},
+                   {"result_code": int(rc) if rc is not None else 0,
+                    "seconds": round(_time.monotonic() - t0, 2)})
+        db.close()
 
 
 if __name__ == "__main__":

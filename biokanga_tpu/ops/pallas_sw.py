@@ -39,6 +39,10 @@ from .sw import (
     DEFAULT_MATCH,
     DEFAULT_MISMATCH,
     NEG,
+    TB_DIAG,
+    TB_LEFT,
+    TB_STOP,
+    TB_UP,
 )
 
 
@@ -55,9 +59,10 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
     # the per-row values come from lane-compare reductions (query base)
     # and a dynamic lane ROTATE (band window), never unaligned slices.
     K = 2 * W + 1
-    alen = alen_ref[0]
-    jlo = jlo_ref[0]
-    jhi = jhi_ref[0]
+    p = pl.program_id(0)
+    alen = alen_ref[p]
+    jlo = jlo_ref[p]
+    jhi = jhi_ref[p]
     ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.full((1, KP), NEG, jnp.int32)
@@ -75,10 +80,11 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
 
     def outer(blk, carry0):
         i0 = blk * 128
-        a_chunk = a_ref[0, pl.ds(pl.multiple_of(i0, 128), 128)
+        a_chunk = a_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), 128)
                         ].reshape(1, 128)
-        w1 = bw_ref[0, pl.ds(pl.multiple_of(i0, 128), KP)].reshape(1, KP)
-        w2 = bw_ref[0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
+        w1 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), KP)
+                    ].reshape(1, KP)
+        w2 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
                     ].reshape(1, 128)
         cat = jnp.concatenate([w1, w2], axis=1)  # (1, KP+128)
 
@@ -131,7 +137,7 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
     out = jnp.where(lane == 0, best,
                     jnp.where(lane == 1, bi,
                               jnp.where(lane == 2, bk, 0)))
-    out_ref[...] = out
+    out_ref[...] = out.reshape(out_ref.shape)
 
 
 @partial(jax.jit, static_argnames=("W", "interpret", "match", "mismatch",
@@ -148,23 +154,198 @@ def _run(a32, bw32, alen, jlo, jhi, W, interpret=False,
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda p: (p,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda p: (p,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda p: (p,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, a32.shape[1]), lambda p: (p, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, a32.shape[1]), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bw32.shape[1]), lambda p: (p, 0),
+            pl.BlockSpec((1, 1, bw32.shape[1]), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
         interpret=interpret,
-    )(alen, jlo, jhi, a32, bw32)
-    return out[:, 0], out[:, 1], out[:, 2]
+    )(alen, jlo, jhi, a32[:, None], bw32[:, None])
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+
+
+def _kernel_moves(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref,
+                  mv_ref, *, La: int, W: int, KP: int, match: int,
+                  mismatch: int, gap_open: int, gap_ext: int):
+    """Forward banded SW emitting PACKED 2-bit traceback codes.
+
+    Same DP as _kernel (scores bit-equal to ops/sw.banded_sw_batch); per
+    row the move code (STOP/LEFT/UP/DIAG with the scan kernel's override
+    order) is packed 16 rows per int32 word — mv_ref[0, i>>4, k] holds
+    code(i, k) at bit 2*(i&15).  This replaces the scan kernel's
+    (B, La, K) uint8 move planes (4x smaller, ~23x faster to produce —
+    the EC SW engine, CSSW::Align role pacbiokanga/SSW.cpp:992) and
+    feeds ops/sw_trace.traceback_cols_packed.
+    """
+    K = 2 * W + 1
+    p = pl.program_id(0)
+    alen = alen_ref[p]
+    jlo = jlo_ref[p]
+    jhi = jhi_ref[p]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    neg = jnp.full((1, KP), NEG, jnp.int32)
+    CW = KP + 128
+
+    def shift_up(x):
+        r = pltpu.roll(x, shift=KP - 1, axis=1)
+        return jnp.where(ks == KP - 1, NEG, r)
+
+    def shift_right(x, s):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(ks < s, NEG, r)
+
+    def outer(blk, carry0):
+        i0 = blk * 128
+        a_chunk = a_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), 128)
+                        ].reshape(1, 128)
+        w1 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), KP)
+                    ].reshape(1, KP)
+        w2 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
+                    ].reshape(1, 128)
+        cat = jnp.concatenate([w1, w2], axis=1)
+
+        def body(r16, carry):
+            H, E, best, bi, bk, word, w = carry
+            r = w * 16 + r16
+            i = i0 + r
+            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1))
+            win = pltpu.roll(cat, shift=CW - r, axis=1)
+            bj = win[:, :KP]
+            j = i + ks - W
+            in_band = (j >= jlo) & (j < jhi) & (ks < K) & (i < alen)
+            is_m = (ai == bj) & (ai < 4) & (bj < 4)
+            sub = jnp.where(is_m, match, mismatch)
+
+            E = jnp.maximum(shift_up(H) + gap_open,
+                            shift_up(E) + gap_ext)
+            Hd = H + sub
+            H0 = jnp.maximum(jnp.maximum(Hd, E), 0)
+            H0 = jnp.maximum(H0, jnp.where(sub > 0, sub, 0))
+            run = H0 + (-gap_ext) * ks
+            s = 1
+            while s < KP:
+                run = jnp.maximum(run, shift_right(run, s))
+                s *= 2
+            run_prev = shift_right(run, 1)
+            F = run_prev + gap_ext * ks + gap_open - gap_ext
+            H = jnp.maximum(jnp.maximum(H0, F), 0)
+            H = jnp.where(in_band, H, neg)
+            E2 = jnp.where(in_band, E, neg)
+
+            # scan-kernel move precedence: STOP < LEFT < UP < DIAG
+            pos = H > 0
+            code = jnp.full((1, KP), TB_STOP, jnp.int32)
+            code = jnp.where((H == F) & pos, TB_LEFT, code)
+            code = jnp.where((H == E2) & pos, TB_UP, code)
+            code = jnp.where((H == Hd) & pos, TB_DIAG, code)
+            word = word | (code << (2 * r16))
+
+            rb = jnp.max(H)
+            rk = jnp.min(jnp.where(H == rb, ks, KP))
+            better = rb > best
+            best = jnp.where(better, rb, best)
+            bi = jnp.where(better, i, bi)
+            bk = jnp.where(better, rk, bk)
+            return H, E2, best, bi, bk, word, w
+
+        def words(w, carry0):
+            H, E, best, bi, bk = carry0
+            word0 = jnp.zeros((1, KP), jnp.int32)
+            H, E, best, bi, bk, word, _ = jax.lax.fori_loop(
+                0, 16, body, (H, E, best, bi, bk, word0, w)
+            )
+            mv_ref[0, pl.ds(blk * 8 + w, 1), :] = word
+            return H, E, best, bi, bk
+
+        return jax.lax.fori_loop(0, 8, words, carry0)
+
+    H0 = jnp.zeros((1, KP), jnp.int32)
+    E0 = jnp.full((1, KP), NEG, jnp.int32)
+    H, E, best, bi, bk = jax.lax.fori_loop(
+        0, -(-La // 128), outer,
+        (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.where(lane == 0, best,
+                    jnp.where(lane == 1, bi,
+                              jnp.where(lane == 2, bk, 0)))
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("W", "interpret", "match", "mismatch",
+                                   "gap_open", "gap_ext"))
+def _run_moves(a32, bw32, alen, jlo, jhi, W, interpret=False,
+               match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
+               gap_open=DEFAULT_GAP_OPEN, gap_ext=DEFAULT_GAP_EXT):
+    B, La = a32.shape
+    K = 2 * W + 1
+    KP = _round_up(K, 128)
+    Wd = La // 16
+    kern = partial(_kernel_moves, La=La, W=W, KP=KP, match=match,
+                   mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+    out, mv = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, a32.shape[1]), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bw32.shape[1]), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Wd, KP), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, Wd, KP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(alen, jlo, jhi, a32[:, None], bw32[:, None])
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], mv
+
+
+def banded_sw_moves(a, b, alen, blen, diag, W,
+                    match=DEFAULT_MATCH, mismatch=DEFAULT_MISMATCH,
+                    gap_open=DEFAULT_GAP_OPEN, gap_ext=DEFAULT_GAP_EXT,
+                    interpret: bool | None = None):
+    """Batched banded SW via the Pallas kernel with PACKED move planes.
+
+    Returns (best, best_i, best_k, mv_packed (B, ceil(La/128)*8, KP)
+    int32, bwin (B, T) int32) — scores bit-equal to banded_sw_batch;
+    decode the columns with ops/sw_trace.traceback_cols_packed(bwin=...).
+    """
+    assert match + gap_open < 0, (
+        "custom scoring with match + gap_open >= 0 breaks the lazy-F "
+        "out-of-band invariant (see ADVICE r4); use the scan kernel"
+    )
+    a = np.asarray(a)
+    B, La = a.shape
+    lap = _round_up(La, 128)
+    if lap != La:
+        a = np.pad(a, ((0, 0), (0, lap - La)), constant_values=4)
+    bwin, jlo, jhi = normalize_band(np.asarray(b), blen, diag, lap, W)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    best, bi, bk, mv = _run_moves(
+        jnp.asarray(a.astype(np.int32)), jnp.asarray(bwin),
+        jnp.asarray(np.asarray(alen, np.int32)),
+        jnp.asarray(jlo), jnp.asarray(jhi), W, interpret,
+        match, mismatch, gap_open, gap_ext,
+    )
+    return best, bi, bk, mv, bwin
 
 
 def normalize_band(b: np.ndarray, blen: np.ndarray, diag: np.ndarray,
@@ -196,6 +377,10 @@ def banded_sw_score(a, b, alen, blen, diag, W,
     coordinates as ops/sw.banded_sw_batch (k = j - i - diag + W).
     a: (B, La) int8/any int; b: (B, Lb); diag: per-pair band centre.
     """
+    assert match + gap_open < 0, (
+        "custom scoring with match + gap_open >= 0 breaks the lazy-F "
+        "out-of-band invariant (see ADVICE r4); use the scan kernel"
+    )
     a = np.asarray(a)
     B, La = a.shape
     lap = _round_up(La, 128)

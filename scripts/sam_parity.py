@@ -15,7 +15,10 @@ from collections import Counter
 
 
 def load_sam(path: str):
-    """qname -> (rname, pos, strand, cigar, mapped)"""
+    """qname -> (rname, pos, strand, cigar, mapped, |tlen|)
+
+    |TLEN| rides at index 5 so PE insert-size drift is scoreable;
+    existing consumers index 0-4 and are unaffected."""
     out = {}
     with open(path) as f:
         for line in f:
@@ -33,7 +36,8 @@ def load_sam(path: str):
                 key = qname + ("/1" if flag & 0x40 else "/2")
             mapped = not (flag & 0x4)
             strand = "-" if flag & 0x10 else "+"
-            out[key] = (rname, int(pos), strand, cigar, mapped)
+            out[key] = (rname, int(pos), strand, cigar, mapped,
+                        abs(int(fields[8])))
     return out
 
 
@@ -58,6 +62,8 @@ def compare(ref: dict, ours: dict, pos_slop: int = 0):
             cats["pos_mismatch"] += 1
         elif r[3] != o[3]:
             cats["cigar_mismatch"] += 1
+        elif len(r) > 5 and len(o) > 5 and r[5] != o[5]:
+            cats["tlen_mismatch"] += 1
         else:
             cats["exact_match"] += 1
     for key in ours:

@@ -75,3 +75,54 @@ def test_respects_blen_and_alen():
         np.array([0], np.int32), 8, interpret=True)
     assert int(got_cut[0]) == 32  # truncated query caps the chain
     assert int(got_full[0]) >= 48
+
+
+def test_moves_kernel_and_packed_traceback_match_scan_path():
+    """banded_sw_moves + traceback_cols_packed must reproduce the scan
+    path (banded_sw_batch + traceback_align_batch) bit-for-bit: same
+    best scores AND same per-column decode outputs."""
+    import jax.numpy as jnp
+
+    from biokanga_tpu.ops.pallas_sw import banded_sw_moves
+    from biokanga_tpu.ops.sw import traceback_align_batch
+    from biokanga_tpu.ops.sw_trace import traceback_cols_packed
+
+    rng = np.random.default_rng(11)
+    B, La, Lb, W = 6, 256, 288, 24
+    a = np.full((B, La), 4, np.int8)
+    alen = np.zeros(B, np.int32)
+    b = np.full((B, Lb), 4, np.int8)
+    blen = np.zeros(B, np.int32)
+    diag = np.zeros(B, np.int32)
+    for p in range(B):
+        q, nb = _noisy_pair(rng, La - rng.integers(0, 32), 0.12)
+        nb = nb[:Lb]
+        a[p, : len(q)] = q
+        alen[p] = len(q)
+        b[p, : len(nb)] = nb
+        blen[p] = len(nb)
+        diag[p] = rng.integers(-10, 10)
+    a[3, 40:44] = 4  # interior Ns
+    want_best, want_i, want_k, moves = banded_sw_batch(
+        a, b, alen, blen, diag, W, La, Lb)
+    w_out, w_insc, w_insb = traceback_align_batch(
+        moves, want_i, want_k, jnp.asarray(diag), jnp.asarray(b),
+        jnp.asarray(blen), W, La)
+
+    best, bi, bk, mv, bwin = banded_sw_moves(
+        a, b, alen, blen, diag, W, interpret=True)
+    assert np.array_equal(np.asarray(want_best), np.asarray(best))
+    g_out, g_insc, g_insb = traceback_cols_packed(
+        mv, bi, bk, jnp.asarray(bwin), W, La)
+
+    # decode comparison on pairs where the best CELL matches (ties may
+    # pick different cells; scores already asserted equal)
+    same = (np.asarray(want_i) == np.asarray(bi)) & (
+        np.asarray(want_k) == np.asarray(bk))
+    assert same.sum() >= B - 1
+    np.testing.assert_array_equal(np.asarray(g_out)[same],
+                                  np.asarray(w_out)[same])
+    np.testing.assert_array_equal(np.asarray(g_insc)[same],
+                                  np.asarray(w_insc)[same])
+    np.testing.assert_array_equal(np.asarray(g_insb)[same],
+                                  np.asarray(w_insb)[same])

@@ -69,3 +69,41 @@ def test_snps2sqlite_and_index_q(tmp_path):
     assert con.execute(
         "SELECT ResultValue FROM TblResults WHERE ResultName='total_bp'"
     ).fetchone()[0] == "2000"
+
+
+def test_universal_sumrslts_dispatch(tmp_path):
+    """-q/--sumrslts on subcommands WITHOUT their own flag logs a row
+    via the dispatch wrapper (reference: every subprocess logs its
+    experiment, biokanga.cpp:134-137) — three diverse subcommands."""
+    db = str(tmp_path / "u.db")
+
+    # 1. csv2bed (converter)
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "chrom,start,end,name,strand\n"
+        "chr1,100,199,el1,+\n"
+        "chr1,500,599,el2,-\n")
+    bed = str(tmp_path / "out.bed")
+    assert main(["csv2bed", "-i", str(csv), "-o", bed, "-q", db]) == 0
+
+    # 2. fastafilter (sequence tool), --sumrslts= form
+    fa = tmp_path / "in.fa"
+    fa.write_text(">a\nACGTACGTACGT\n>b\nAC\n")
+    out_fa = str(tmp_path / "out.fa")
+    assert main(["fastafilter", "-i", str(fa), "-o", out_fa,
+                 "--min-len", "5", f"--sumrslts={db}"]) == 0
+
+    # 3. ssr (discovery tool)
+    fa2 = tmp_path / "ssr.fa"
+    fa2.write_text(">s\n" + "ACGG" * 30 + "TTGACCA\n")
+    out_csv = str(tmp_path / "ssr.csv")
+    assert main(["ssr", "-i", str(fa2), "-o", out_csv, "-q", db]) == 0
+
+    con = sqlite3.connect(db)
+    procs = [r[0] for r in con.execute(
+        "SELECT ProcName FROM TblProcesses").fetchall()]
+    assert sorted(procs) == ["csv2bed", "fastafilter", "ssr"]
+    rc = con.execute(
+        "SELECT ResultValue FROM TblResults WHERE ResultName='result_code'"
+    ).fetchall()
+    assert len(rc) == 3 and all(v == ('0',) for v in rc)
