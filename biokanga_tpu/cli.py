@@ -1577,6 +1577,15 @@ def cmd_ecreads(argv):
     p.add_argument("--min-seed-votes", type=int, default=8)
     p.add_argument("--sw-band", type=int, default=96)
     p.add_argument("--min-score", type=int, default=60)
+    p.add_argument("--max-targets", type=int, default=48,
+                   help="overlap candidates per probe")
+    p.add_argument("--rounds", type=int, default=2,
+                   help="iterated-consensus rounds (round 2 corrects "
+                        "round 1's output; 0.956 -> 0.998 32-mer "
+                        "recovery on the CLR head-to-head)")
+    p.add_argument("--target-chunk", type=int, default=0,
+                   help="index at most this many target reads at a time "
+                        "(bounds HBM residency; 0 = all)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="resumable per-group correction checkpoints")
     p.add_argument("-F", "--log", default=None)
@@ -1593,12 +1602,15 @@ def cmd_ecreads(argv):
             reads.append(r.codes)
     ecp = ECParams(seed_len=args.seed_len,
                    min_seed_votes=args.min_seed_votes,
-                   sw_band=args.sw_band, min_overlap_score=args.min_score)
+                   sw_band=args.sw_band, min_overlap_score=args.min_score,
+                   max_targets=args.max_targets)
     if args.checkpoint_dir:
         corrected, stats = ec_reads_checkpointed(
             reads, ecp, checkpoint_dir=args.checkpoint_dir)
     else:
-        corrected, stats = ec_reads(reads, ecp)
+        corrected, stats = ec_reads(
+            reads, ecp, target_chunk=args.target_chunk or None,
+            rounds=max(1, args.rounds))
     write_fasta(args.out, zip(names, corrected))
     log.info("ecreads: %d reads, %d overlaps used, %.1fs",
              stats["reads"], stats["overlaps_used"], sw.elapsed())

@@ -51,18 +51,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
-            La: int, W: int, KP: int, match: int, mismatch: int,
+            La: int, W: int, KP: int, SP: int, match: int, mismatch: int,
             gap_open: int, gap_ext: int):
     # Mosaic constraint shapes the loop structure: dynamic lane indices
     # must be 128-aligned, so rows advance in BLOCKS of 128 — the query
     # chunk and the two band-window tiles load at aligned offsets, and
     # the per-row values come from lane-compare reductions (query base)
     # and a dynamic lane ROTATE (band window), never unaligned slices.
+    # SP pairs ride the SUBLANE axis per program (see _kernel_moves:
+    # per-row fori overhead, not vector throughput, bounds one-pair-per-
+    # program kernels to ~0.15 GCUPS at K=193).
     K = 2 * W + 1
-    p = pl.program_id(0)
-    alen = alen_ref[p]
-    jlo = jlo_ref[p]
-    jhi = jhi_ref[p]
+    alen = jnp.max(alen_ref[0][:, :1], axis=1, keepdims=True)  # (SP,1)
+    jlo = jnp.max(jlo_ref[0][:, :1], axis=1, keepdims=True)
+    jhi = jnp.max(jhi_ref[0][:, :1], axis=1, keepdims=True)
     ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.full((1, KP), NEG, jnp.int32)
@@ -80,18 +82,16 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
 
     def outer(blk, carry0):
         i0 = blk * 128
-        a_chunk = a_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), 128)
-                        ].reshape(1, 128)
-        w1 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), KP)
-                    ].reshape(1, KP)
-        w2 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
-                    ].reshape(1, 128)
-        cat = jnp.concatenate([w1, w2], axis=1)  # (1, KP+128)
+        a_chunk = a_ref[0, :, pl.ds(pl.multiple_of(i0, 128), 128)]
+        w1 = bw_ref[0, :, pl.ds(pl.multiple_of(i0, 128), KP)]
+        w2 = bw_ref[0, :, pl.ds(pl.multiple_of(i0 + KP, 128), 128)]
+        cat = jnp.concatenate([w1, w2], axis=1)  # (SP, KP+128)
 
         def body(r, carry):
             H, E, best, bi, bk = carry
             i = i0 + r
-            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1))
+            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1),
+                         axis=1, keepdims=True)
             win = pltpu.roll(cat, shift=CW - r, axis=1)
             bj = win[:, :KP]
             j = i + ks - W
@@ -116,8 +116,8 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
             H = jnp.where(in_band, H, neg)
             E2 = jnp.where(in_band, E, neg)
 
-            rb = jnp.max(H)
-            rk = jnp.min(jnp.where(H == rb, ks, KP))
+            rb = jnp.max(H, axis=1, keepdims=True)
+            rk = jnp.min(jnp.where(H == rb, ks, KP), axis=1, keepdims=True)
             better = rb > best
             best = jnp.where(better, rb, best)
             bi = jnp.where(better, i, bi)
@@ -126,14 +126,14 @@ def _kernel(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref, *,
 
         return jax.lax.fori_loop(0, 128, body, carry0)
 
-    H0 = jnp.zeros((1, KP), jnp.int32)
-    E0 = jnp.full((1, KP), NEG, jnp.int32)
+    H0 = jnp.zeros((SP, KP), jnp.int32)
+    E0 = jnp.full((SP, KP), NEG, jnp.int32)
+    z = jnp.zeros((SP, 1), jnp.int32)
     H, E, best, bi, bk = jax.lax.fori_loop(
-        0, -(-La // 128), outer,
-        (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        0, -(-La // 128), outer, (H0, E0, z, z, z)
     )
     # lane-select epilogue (scatter/.at[].set has no Mosaic lowering)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SP, 128), 1)
     out = jnp.where(lane == 0, best,
                     jnp.where(lane == 1, bi,
                               jnp.where(lane == 2, bk, 0)))
@@ -148,46 +148,70 @@ def _run(a32, bw32, alen, jlo, jhi, W, interpret=False,
     B, La = a32.shape
     K = 2 * W + 1
     KP = _round_up(K, 128)
-    kern = partial(_kernel, La=La, W=W, KP=KP, match=match,
+    SP = 8
+    G = -(-B // SP)
+    pad = G * SP - B
+    a32 = a32.astype(jnp.int32)
+    bw32 = bw32.astype(jnp.int32)
+    if pad:
+        a32 = jnp.pad(a32, ((0, pad), (0, 0)), constant_values=4)
+        bw32 = jnp.pad(bw32, ((0, pad), (0, 0)), constant_values=4)
+        alen = jnp.pad(alen, (0, pad))
+        jlo = jnp.pad(jlo, (0, pad))
+        jhi = jnp.pad(jhi, (0, pad))
+    vb = lambda v: jnp.broadcast_to(
+        v.astype(jnp.int32).reshape(G, SP, 1), (G, SP, 128))
+    kern = partial(_kernel, La=La, W=W, KP=KP, SP=SP, match=match,
                    mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
     out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, a32.shape[1]), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bw32.shape[1]), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, a32.shape[1]), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, bw32.shape[1]), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda p: (p, 0, 0),
+        out_specs=pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G, SP, 128), jnp.int32),
         interpret=interpret,
-    )(alen, jlo, jhi, a32[:, None], bw32[:, None])
-    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+    )(vb(alen), vb(jlo), vb(jhi),
+      a32.reshape(G, SP, La), bw32.reshape(G, SP, -1))
+    out = out.reshape(G * SP, 128)[:B]
+    return out[:, 0], out[:, 1], out[:, 2]
 
 
 def _kernel_moves(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref,
-                  mv_ref, *, La: int, W: int, KP: int, match: int,
+                  mv_ref, *, La: int, W: int, KP: int, SP: int, match: int,
                   mismatch: int, gap_open: int, gap_ext: int):
-    """Forward banded SW emitting PACKED 2-bit traceback codes.
+    """Forward banded SW emitting PACKED 2-bit traceback codes, SP pairs
+    per program on the VPU SUBLANE axis.
 
     Same DP as _kernel (scores bit-equal to ops/sw.banded_sw_batch); per
     row the move code (STOP/LEFT/UP/DIAG with the scan kernel's override
-    order) is packed 16 rows per int32 word — mv_ref[0, i>>4, k] holds
-    code(i, k) at bit 2*(i&15).  This replaces the scan kernel's
-    (B, La, K) uint8 move planes (4x smaller, ~23x faster to produce —
-    the EC SW engine, CSSW::Align role pacbiokanga/SSW.cpp:992) and
-    feeds ops/sw_trace.traceback_cols_packed.
+    order) is packed 16 rows per int32 word — mv[g, s, i>>4, k] holds
+    code(i, k) of pair g*SP+s at bit 2*(i&15).  Feeds
+    ops/sw_trace.traceback_cols_packed (the EC SW engine, CSSW::Align
+    role pacbiokanga/SSW.cpp:992).
+
+    Why sublane packing: at one pair per program the measured per-row
+    cost is ~1.2 us regardless of band width — fori/scalar overhead, not
+    vector throughput (0.15 GCUPS at K=193).  Batching SP=8 independent
+    pairs on sublanes amortises that overhead: every row op is (SP, KP)
+    instead of (1, KP); the band-window rotate shift is row-common so
+    one roll serves all pairs.
     """
     K = 2 * W + 1
-    p = pl.program_id(0)
-    alen = alen_ref[p]
-    jlo = jlo_ref[p]
-    jhi = jhi_ref[p]
+    alen = jnp.max(alen_ref[0][:, :1], axis=1, keepdims=True)  # (SP,1)
+    jlo = jnp.max(jlo_ref[0][:, :1], axis=1, keepdims=True)
+    jhi = jnp.max(jhi_ref[0][:, :1], axis=1, keepdims=True)
     ks = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     neg = jnp.full((1, KP), NEG, jnp.int32)
@@ -203,19 +227,17 @@ def _kernel_moves(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref,
 
     def outer(blk, carry0):
         i0 = blk * 128
-        a_chunk = a_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), 128)
-                        ].reshape(1, 128)
-        w1 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0, 128), KP)
-                    ].reshape(1, KP)
-        w2 = bw_ref[0, 0, pl.ds(pl.multiple_of(i0 + KP, 128), 128)
-                    ].reshape(1, 128)
-        cat = jnp.concatenate([w1, w2], axis=1)
+        a_chunk = a_ref[0, :, pl.ds(pl.multiple_of(i0, 128), 128)]
+        w1 = bw_ref[0, :, pl.ds(pl.multiple_of(i0, 128), KP)]
+        w2 = bw_ref[0, :, pl.ds(pl.multiple_of(i0 + KP, 128), 128)]
+        cat = jnp.concatenate([w1, w2], axis=1)       # (SP, KP+128)
 
         def body(r16, carry):
             H, E, best, bi, bk, word, w = carry
             r = w * 16 + r16
             i = i0 + r
-            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1))
+            ai = jnp.max(jnp.where(lane128 == r, a_chunk, -1),
+                         axis=1, keepdims=True)       # (SP, 1)
             win = pltpu.roll(cat, shift=CW - r, axis=1)
             bj = win[:, :KP]
             j = i + ks - W
@@ -241,14 +263,14 @@ def _kernel_moves(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref,
 
             # scan-kernel move precedence: STOP < LEFT < UP < DIAG
             pos = H > 0
-            code = jnp.full((1, KP), TB_STOP, jnp.int32)
+            code = jnp.full((SP, KP), TB_STOP, jnp.int32)
             code = jnp.where((H == F) & pos, TB_LEFT, code)
             code = jnp.where((H == E2) & pos, TB_UP, code)
             code = jnp.where((H == Hd) & pos, TB_DIAG, code)
             word = word | (code << (2 * r16))
 
-            rb = jnp.max(H)
-            rk = jnp.min(jnp.where(H == rb, ks, KP))
+            rb = jnp.max(H, axis=1, keepdims=True)    # (SP, 1)
+            rk = jnp.min(jnp.where(H == rb, ks, KP), axis=1, keepdims=True)
             better = rb > best
             best = jnp.where(better, rb, best)
             bi = jnp.where(better, i, bi)
@@ -257,22 +279,22 @@ def _kernel_moves(alen_ref, jlo_ref, jhi_ref, a_ref, bw_ref, out_ref,
 
         def words(w, carry0):
             H, E, best, bi, bk = carry0
-            word0 = jnp.zeros((1, KP), jnp.int32)
+            word0 = jnp.zeros((SP, KP), jnp.int32)
             H, E, best, bi, bk, word, _ = jax.lax.fori_loop(
                 0, 16, body, (H, E, best, bi, bk, word0, w)
             )
-            mv_ref[0, pl.ds(blk * 8 + w, 1), :] = word
+            mv_ref[0, :, pl.ds(blk * 8 + w, 1), :] = word[:, None, :]
             return H, E, best, bi, bk
 
         return jax.lax.fori_loop(0, 8, words, carry0)
 
-    H0 = jnp.zeros((1, KP), jnp.int32)
-    E0 = jnp.full((1, KP), NEG, jnp.int32)
+    H0 = jnp.zeros((SP, KP), jnp.int32)
+    E0 = jnp.full((SP, KP), NEG, jnp.int32)
+    z = jnp.zeros((SP, 1), jnp.int32)
     H, E, best, bi, bk = jax.lax.fori_loop(
-        0, -(-La // 128), outer,
-        (H0, E0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        0, -(-La // 128), outer, (H0, E0, z, z, z)
     )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SP, 128), 1)
     out = jnp.where(lane == 0, best,
                     jnp.where(lane == 1, bi,
                               jnp.where(lane == 2, bk, 0)))
@@ -288,33 +310,54 @@ def _run_moves(a32, bw32, alen, jlo, jhi, W, interpret=False,
     K = 2 * W + 1
     KP = _round_up(K, 128)
     Wd = La // 16
-    kern = partial(_kernel_moves, La=La, W=W, KP=KP, match=match,
+    SP = 8
+    G = -(-B // SP)
+    pad = G * SP - B
+    a32 = a32.astype(jnp.int32)
+    bw32 = bw32.astype(jnp.int32)
+    if pad:
+        a32 = jnp.pad(a32, ((0, pad), (0, 0)), constant_values=4)
+        bw32 = jnp.pad(bw32, ((0, pad), (0, 0)), constant_values=4)
+        alen = jnp.pad(alen, (0, pad))
+        jlo = jnp.pad(jlo, (0, pad))
+        jhi = jnp.pad(jhi, (0, pad))
+    # per-pair bounds ride as (G, SP, 128) VMEM broadcasts (SMEM refs
+    # cannot be indexed per-sublane; the kernel reduces lane 0 back out)
+    vb = lambda v: jnp.broadcast_to(
+        v.astype(jnp.int32).reshape(G, SP, 1), (G, SP, 128))
+    kern = partial(_kernel_moves, La=La, W=W, KP=KP, SP=SP, match=match,
                    mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
     out, mv = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, a32.shape[1]), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bw32.shape[1]), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, a32.shape[1]), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, bw32.shape[1]), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, 128), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Wd, KP), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, SP, Wd, KP), lambda p: (p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, Wd, KP), jnp.int32),
+            jax.ShapeDtypeStruct((G, SP, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, SP, Wd, KP), jnp.int32),
         ],
         interpret=interpret,
-    )(alen, jlo, jhi, a32[:, None], bw32[:, None])
-    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], mv
+    )(vb(alen), vb(jlo), vb(jhi),
+      a32.reshape(G, SP, La), bw32.reshape(G, SP, -1))
+    out = out.reshape(G * SP, 128)[:B]
+    mv = mv.reshape(G * SP, Wd, KP)[:B]
+    return out[:, 0], out[:, 1], out[:, 2], mv
 
 
 def banded_sw_moves(a, b, alen, blen, diag, W,

@@ -246,9 +246,20 @@ def ec_reads(
     params: ECParams | None = None,
     target_chunk: int | None = None,
     mesh=None,
+    rounds: int = 1,
 ) -> tuple[list[np.ndarray], dict]:
     """Correct every read against the others (fully batched; see module
     docstring). Returns (corrected, stats).
+
+    rounds: iterated consensus — round r+1 corrects round r's OUTPUT
+    reads against each other (the HGAP-style refinement the reference's
+    single-shot CSSW/MAConsensus pipeline lacks; targets at ~0.2%
+    residual error make the column votes near-noiseless).  Measured on
+    the 500 x 10 kb CLR head-to-head: 1 round 0.956, 2 rounds 0.998
+    32-mer recovery vs the reference's 0.960 (BENCH_EC_HTH.json).
+
+    rounds=2 is the production default for CLR-noise inputs via the
+    CLI; the library default stays 1 for reference-shaped parity runs.
 
     target_chunk: index at most this many target reads at a time
     (VERDICT r3 item 6 — the rc-doubled all-vs-all index residency no
@@ -262,6 +273,18 @@ def ec_reads(
     """
     p = params or ECParams()
     n = len(reads)
+    if rounds > 1:
+        cur = reads
+        overlaps = 0
+        st: dict = {}
+        for _ in range(rounds):
+            cur, st = ec_reads(cur, p, target_chunk=target_chunk,
+                               mesh=mesh, rounds=1)
+            overlaps += st["overlaps_used"]
+        st = dict(st)
+        st["overlaps_used"] = overlaps
+        st["rounds"] = rounds
+        return cur, st
     if target_chunk is None or target_chunk >= n:
         entries = [(f"r{i}", s) for i, s in enumerate(reads)]
         entries += [(f"rc{i}", revcomp(s)) for i, s in enumerate(reads)]

@@ -36,11 +36,17 @@ REF_BIN = os.path.join(REPO, "refbuild", "bin", "pacbiokanga")
 from bench_ecreads import kmer_recovery, kmer_set  # noqa: E402
 
 
-def gen_reads(n_reads, L, genome_kb, err, seed=3):
+def gen_reads(n_reads, L, genome_kb, err, seed=3, burst=False):
     """PacBio CLR-like errors: of all error events, 10% are substitutions,
     60% insertions, 30% deletions (the indel-dominated profile the
     reference's PBErrCorrect SW defaults assume, pacbiokanga
-    PBErrCorrect.cpp default match/mismatch/gap scoring)."""
+    PBErrCorrect.cpp default match/mismatch/gap scoring).
+
+    burst=True modulates the rate along the read like real CLR noise
+    (clustered errors, VERDICT r4 missing-5): ~20%% of each read lies in
+    random high-noise windows at 3x the base rate, the rest at 0.5x —
+    mean rate ~= err but locally bursty (the regime the reference's
+    500 bp window-deviation artefact filter is calibrated for)."""
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_kb * 1000, dtype=np.int8)
     reads, truths = [], []
@@ -48,15 +54,25 @@ def gen_reads(n_reads, L, genome_kb, err, seed=3):
         st = int(rng.integers(0, len(genome) - L))
         w = genome[st : st + L].copy()
         truths.append(w.copy())
+        rate = np.full(L, err)
+        if burst:
+            rate[:] = err * 0.5
+            covered = 0
+            while covered < 0.2 * L:
+                b0 = int(rng.integers(0, L))
+                bl = int(rng.integers(200, 800))
+                rate[b0: b0 + bl] = err * 3.0
+                covered += min(bl, L - b0)
         r = []
-        for b in w:
+        for bi, b in enumerate(w):
+            err_i = rate[bi]
             x = rng.random()
-            if x < err * 0.1:
+            if x < err_i * 0.1:
                 r.append((b + rng.integers(1, 4)) % 4)
-            elif x < err * 0.7:
+            elif x < err_i * 0.7:
                 r.append(b)
                 r.append(rng.integers(0, 4))
-            elif x < err:
+            elif x < err_i:
                 continue
             else:
                 r.append(b)
@@ -135,6 +151,8 @@ def main():
     # accepts dovetails on iid synthetic errors (pairwise divergence
     # 2x err; at 12% the reference corrects ~nothing even with -A 0)
     ap.add_argument("--err", type=float, default=0.07)
+    ap.add_argument("--burst", action="store_true",
+                    help="burst-modulated CLR error profile")
     ap.add_argument("--dir", default="/tmp/bench_ec_h2h")
     ap.add_argument("--reuse", action="store_true",
                     help="ref stage: rescore an existing corr.fa")
@@ -146,7 +164,8 @@ def main():
     from biokanga_tpu.seq.fasta import read_seqs, write_fasta
 
     if a.stage == "gen":
-        reads, truths = gen_reads(a.reads, a.read_len, a.genome_kb, a.err)
+        reads, truths = gen_reads(a.reads, a.read_len, a.genome_kb,
+                                  a.err, burst=a.burst)
         write_fasta(os.path.join(a.dir, "pb.fa"),
                     ((f"read{i:06d}", r) for i, r in enumerate(reads)))
         # truths are all read_len long -> plain 2-D int8; only the ragged
@@ -194,12 +213,17 @@ def main():
     if a.stage == "ours":
         from biokanga_tpu.pacbio.ecreads import ECParams, ec_reads
 
+        # production config: Pallas packed-moves SW engine, 48 overlap
+        # candidates/probe, 2 iterated-consensus rounds (round 2
+        # corrects round 1's output — 0.956 -> 0.998 recovery)
         t0 = time.monotonic()
-        corrected, stats = ec_reads(reads, ECParams())
+        corrected, stats = ec_reads(reads, ECParams(max_targets=48),
+                                    rounds=2)
         dt = time.monotonic() - t0
         corr = {i: [corrected[i]] for i in range(len(corrected))
                 if len(corrected[i])}
-        out = {"seconds_1chip": round(dt, 1), **score(reads, truths, corr)}
+        out = {"seconds_1chip": round(dt, 1), "rounds": 2,
+               "max_targets": 48, **score(reads, truths, corr)}
         with open(os.path.join(a.dir, "ours.json"), "w") as f:
             json.dump(out, f)
         print(json.dumps({"stage": "ours", **out}))
@@ -212,7 +236,11 @@ def main():
         "value": ours.get("post"),
         "unit": "frac",
         "detail": {
-            "error_profile": "PacBio CLR-like: 10% sub / 60% ins / 30% del",
+            "error_profile": ("PacBio CLR-like: 10% sub / 60% ins / "
+                              "30% del"
+                              + (", burst-modulated (3x windows ~20% "
+                                 "of read, 0.5x elsewhere)"
+                                 if a.burst else "")),
             "err_rate": a.err, "n_reads": a.reads,
             "read_len": a.read_len, "genome_kb": a.genome_kb,
             "ours": ours, "reference_T2": ref,
