@@ -134,6 +134,10 @@ class LongReadAligner:
                 col = ((np.arange(L, dtype=np.int64)[None, :]
                         + (L - lengths.astype(np.int64))[:, None]) % L)
                 cur = rc[np.arange(B)[:, None], col]
+                # mask the rolled tail explicitly: non-N garbage past the
+                # read end would otherwise be complemented and rotated
+                # into tail positions (ADVICE r4)
+                cur[np.arange(L)[None, :] >= lengths[:, None]] = 4
             else:
                 cur = reads
             segs, seg_lens, offs, S = _segment(cur, lengths, self.seg)

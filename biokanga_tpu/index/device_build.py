@@ -225,6 +225,9 @@ class DeviceBuildChunkedAligner:
         self.pad_n = (max(p[2] for p in self.plans) // 128 + 1) * 128
         self._engine = None
         self.build_s: list[float] = []  # wall per engine_for chunk build
+        # opt-in build timing (forces a device sync per chunk build;
+        # benches that report chunk_build_s set this)
+        self.time_builds: bool = False
 
     @property
     def num_chunks(self) -> int:
@@ -254,7 +257,13 @@ class DeviceBuildChunkedAligner:
 
         t0 = _time.monotonic()
         didx = self.build_chunk(k)
-        jax.block_until_ready(didx.pos_rows)
+        if self.time_builds:
+            # opt-in sync purely for timing: the wait serializes host
+            # dispatch of the following sweep against the build (ADVICE
+            # r4) — production sweeps keep the async overlap
+            jax.block_until_ready(didx.pos_rows)
+        if len(self.build_s) >= 4096:
+            del self.build_s[: 2048]  # bound unattended growth
         self.build_s.append(_time.monotonic() - t0)
         if self._engine is None:
             self._engine = AlignEngine(didx, self.params)

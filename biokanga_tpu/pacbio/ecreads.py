@@ -264,8 +264,13 @@ def ec_reads(
     target_chunk: index at most this many target reads at a time
     (VERDICT r3 item 6 — the rc-doubled all-vs-all index residency no
     longer bounds read-set size; column votes accumulate exactly across
-    target chunks because vote scatter-add is associative, mirroring the
-    reference's per-target-block SW scheduling PBErrCorrect.h:204-230).
+    target chunks because vote accumulation is associative, mirroring
+    the reference's per-target-block SW scheduling
+    PBErrCorrect.h:204-230).  NOTE (ADVICE r4): the top-max_targets
+    candidate cut applies PER CHUNK, so a chunked run may use up to
+    max_targets x n_chunks overlaps per probe — a SUPERSET of the
+    unchunked run's candidate set (deeper coverage, not output-identical
+    to target_chunk=None).
 
     mesh: a jax.sharding.Mesh with a 'dp' axis — SW pair batches shard
     over it (parallel/swservice.py dataflow, the BKS RPC replacement);

@@ -65,6 +65,7 @@ def main():
         ca = DeviceBuildChunkedAligner(seqs, max_chunk=max_chunk,
                                        lut_bases=lut_bases,
                                        params=AlignParams(batch_size=B))
+        ca.time_builds = True  # benches report chunk_build_s
         # epoch 1 pays every jit compile; epoch 2 is the steady state
         # (the regime the 10M-pair cfg3 run actually lives in)
         for epoch in range(2):

@@ -59,6 +59,7 @@ def main() -> None:
     ca = DeviceBuildChunkedAligner(
         seqs, params, max_chunk=args.max_chunk, lut_bases=args.lut_bases
     )
+    ca.time_builds = True  # benches report chunk_build_s
     build_times = []
 
     t_all = time.monotonic()

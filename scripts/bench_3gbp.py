@@ -91,6 +91,7 @@ def main() -> None:
         seqs, params, max_chunk=args.max_chunk, overlap=2048,
         lut_bases=args.lut_bases,
     )
+    ca.time_builds = True  # benches report chunk_build_s
     print(f"chunks: {ca.num_chunks} x <= {args.max_chunk/1e6:.0f} Mbp "
           f"(pad {ca.pad_n/1e6:.0f} Mbp)", flush=True)
 
