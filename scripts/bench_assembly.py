@@ -147,14 +147,30 @@ def main():
     row = {"metric": "assembly_n50", "detail": out}
     # merge partial stage outputs into one evidence file: --skip-ours /
     # --skip-ref runs update the same BENCH_ASM.json
+    # multi-size evidence file: one row per (genome size, coverage),
+    # partial --skip-* runs merge into the same key
     path = os.path.join(REPO, "BENCH_ASM.json")
+    data = {"metric": "assembly_n50", "rows": {}}
     if os.path.exists(path):
-        old = json.load(open(path)).get("detail", {})
-        for k in ("ref", "ours"):
-            if k in old and k not in out:
-                out[k] = old[k]
+        old = json.load(open(path))
+        if "rows" in old:
+            data = old
+        elif "detail" in old:  # round-4 single-row layout
+            d = old["detail"]
+            data["rows"][f"{d.get('genome_bp', 0) / 1e6:g}mbp_"
+                         f"{d.get('coverage', 0):g}x_r4"] = d
+    key = f"{a.mbp:g}mbp_{a.cov:g}x"
+    prev = data["rows"].get(key, {})
+    for k in ("ref", "ours"):
+        if k in prev and k not in out:
+            out[k] = prev[k]
+    data["rows"][key] = out
+    ours_n50 = [r["ours"]["n50"] for r in data["rows"].values()
+                if "ours" in r and "n50" in r.get("ours", {})]
+    data["value"] = max(ours_n50, default=0)
+    data["unit"] = "bp"
     with open(path, "w") as f:
-        json.dump(row, f, indent=1)
+        json.dump(data, f, indent=1)
     print(json.dumps(row))
 
 
