@@ -279,15 +279,24 @@ def remove_contained(seqs: list[np.ndarray],
     # probe in LENGTH BUCKETS (pow2 padded width): padding every probe
     # to the global max length made the post-merge phase build
     # (n_seqs x longest_contig) matrices — the round-4 2 Mbp HBM OOM —
-    # and the per-bucket chunk row count bounds the extension temp
+    # and the per-bucket chunk row count bounds the extension temp.
+    # Probes are additionally capped at PW=4096 bases (the packed
+    # path's envelope, ops/extend_packed.MAX_PACKED_READ_LEN): longer
+    # sequences probe their first PW bases on device, then the full
+    # window is VERIFIED on host at the implied target offset — probing
+    # long contigs full-width through the aligner compiled (rows x C x
+    # Lb) dense graphs that exceed HBM at Lb >= 512 kb (the 2 Mbp
+    # post-merge crash).
+    PW = 4096
     BUDGET = 1 << 31
     j = 0
     while j < B:
         Lb = 256
-        while Lb < int(lens[j]):
+        while Lb < min(int(lens[j]), PW):
             Lb *= 2
         # lens is DESCENDING: this bucket ends where lengths drop into
-        # the next pow2 (the floor bucket 256 takes everything shorter)
+        # the next pow2 (the floor bucket 256 takes everything shorter;
+        # the PW bucket takes everything longer)
         j1 = j
         while j1 < B and (Lb == 256 or int(lens[j1]) > Lb // 2):
             j1 += 1
@@ -297,12 +306,14 @@ def remove_contained(seqs: list[np.ndarray],
             mat = np.full((nb, Lb), 4, np.int8)
             pl = np.zeros(nb, np.int32)
             for r, oi in enumerate(order[s0: s0 + nb]):
-                mat[r, : len(seqs[oi])] = seqs[oi]
-                pl[r] = len(seqs[oi])
+                pw = min(len(seqs[oi]), Lb)
+                mat[r, :pw] = seqs[oi][:pw]
+                pl[r] = pw
             sub, sl = pad_rows(mat, pl)
             res = eng.align_batch(sub, sl)
             mlm = res["ml_mm"][:nb].astype(np.int64)   # (nb, K) top hits
             mll = res["ml_loci"][:nb]
+            mlr = res["ml_rc"][:nb]
             # the aligner's per-read budget caps at 63 mismatches
             # (C_MAX_TOT_ALLOWED_SUBS) and masks over-budget rows to
             # (ml_mm=255, ml_loci=-1); treating those SENTINEL rows as
@@ -316,11 +327,40 @@ def remove_contained(seqs: list[np.ndarray],
             gsel = np.arange(s0, s0 + nb)[:, None]
             # contained in a longer target, or an equal-length EARLIER
             # one (order is length-descending, so ties keep the first)
-            contained = (
+            hit = (
                 valid_hit & (mlm <= mtm[:, None]) & (ent != gsel)
                 & ((lens[ent] > lens[gsel])
                    | ((lens[ent] == lens[gsel]) & (ent < gsel)))
-            ).any(axis=1)
+            )
+            contained = hit.any(axis=1)
+            # rows probed TRUNCATED (true length > Lb): the device hit
+            # covers only the prefix — verify the full window on host
+            for r in np.nonzero(contained)[0]:
+                oi = order[s0 + r]
+                q = seqs[oi]
+                if len(q) <= pl[r]:
+                    continue  # full-length probe: device verdict final
+                full_budget = max(1, len(q) * max_mm // 100)
+                ok = False
+                for c in np.nonzero(hit[r])[0]:
+                    te = int(ent[r, c])
+                    tgt = seqs[order[te]]
+                    # fwd: prefix hit at target offset o covers q at o;
+                    # rc: rc(prefix) is the TAIL of the rc(q) window, so
+                    # the window starts at o = hitoff + pw - len(q)
+                    hitoff = int(mll[r, c] - starts[te])
+                    if mlr[r, c]:
+                        o = hitoff + int(pl[r]) - len(q)
+                        qq = revcomp(q)
+                    else:
+                        o = hitoff
+                        qq = q
+                    if o < 0 or o + len(q) > len(tgt):
+                        continue
+                    if int((tgt[o: o + len(q)] != qq).sum()) <= full_budget:
+                        ok = True
+                        break
+                contained[r] = ok
             keep[order[s0: s0 + nb][contained]] = False
         j = j1
     return [s for s, k in zip(seqs, keep) if k]
