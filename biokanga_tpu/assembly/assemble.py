@@ -437,3 +437,54 @@ def assemble(
     st.total_bp = int(sum(len(s) for s in cur))
     st.max_contig = int(max((len(s) for s in cur), default=0))
     return cur, st
+
+
+def kmer_containment_dedup(seqs: list[np.ndarray], k: int = 32,
+                           min_frac: float = 0.98) -> list[np.ndarray]:
+    """Indel-tolerant redundancy collapse for corrected-long-read
+    contigs (the PBAssemb contained-sequence culling role,
+    pacbiokanga/PBAssemb.cpp): residual post-EC INDELS defeat the
+    Hamming containment pass (one indel mid-window shifts the frame and
+    floods the substitution budget), leaving near-duplicate contigs in
+    the output.  A sequence is dropped when >= min_frac of its
+    canonical k-mers already occur in kept (longer) sequences —
+    frame-shift-immune because k-mers re-anchor after every indel.
+
+    k=32 packs exactly into uint64 at 2 bits/base (vectorised rolling
+    pack); canonical = min(fwd, revcomp) handles orientation.  N-bearing
+    k-mers are excluded on both sides."""
+    if len(seqs) < 2:
+        return seqs
+
+    def canon_kmers(s: np.ndarray) -> np.ndarray:
+        if len(s) < k:
+            return np.zeros(0, np.uint64)
+        v = s.astype(np.int64)
+        ok = v < 4
+        v = np.where(ok, v, 0)
+        # rolling 2-bit pack, fwd and rc in one pass
+        fwd = np.zeros(len(s) - k + 1, np.uint64)
+        rc = np.zeros(len(s) - k + 1, np.uint64)
+        valid = np.ones(len(s) - k + 1, bool)
+        for j in range(k):
+            col = v[j: j + len(fwd)]
+            fwd |= col.astype(np.uint64) << np.uint64(2 * (k - 1 - j))
+            rc |= (3 - col).astype(np.uint64) << np.uint64(2 * j)
+            valid &= ok[j: j + len(fwd)]
+        return np.minimum(fwd, rc)[valid]
+
+    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
+    seen: set[int] = set()
+    keep = np.zeros(len(seqs), bool)
+    for i in order:
+        km = canon_kmers(seqs[i])
+        if len(km) == 0:
+            keep[i] = True
+            continue
+        uniq = np.unique(km)
+        hits = sum(1 for x in uniq.tolist() if x in seen)
+        if hits / len(uniq) >= min_frac:
+            continue  # redundant: contained (mod indels) in kept output
+        keep[i] = True
+        seen.update(uniq.tolist())
+    return [s for s, kf in zip(seqs, keep) if kf]

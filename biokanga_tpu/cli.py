@@ -1626,8 +1626,11 @@ def cmd_pbcontigs(argv):
     p.add_argument("--min-overlap", type=int, default=500)
     p.add_argument("--final-overlap", type=int, default=100)
     p.add_argument("--max-subs-100", type=float, default=5.0)
+    p.add_argument("--no-kmer-dedup", action="store_true",
+                   help="skip the indel-tolerant k-mer containment "
+                        "collapse of redundant contigs")
     args = p.parse_args(argv)
-    from .assembly.assemble import assemble
+    from .assembly.assemble import assemble, kmer_containment_dedup
     from .seq.fasta import read_seqs, write_fasta
 
     seqs = []
@@ -1638,6 +1641,15 @@ def cmd_pbcontigs(argv):
         final_overlap=args.final_overlap, min_seq_len=200,
         max_subs_per_100=args.max_subs_100,
     )
+    if not args.no_kmer_dedup:
+        # corrected CLR reads carry residual INDELS that defeat the
+        # Hamming containment pass; collapse contigs whose canonical
+        # 32-mers are already covered by kept longer contigs
+        # (PBAssemb contained-sequence culling role)
+        contigs = kmer_containment_dedup(contigs)
+        st.n_contigs = len(contigs)
+        st.total_bp = int(sum(len(c) for c in contigs))
+        st.max_contig = int(max((len(c) for c in contigs), default=0))
     contigs.sort(key=len, reverse=True)
     write_fasta(args.out, ((f"contig{i+1}", c)
                            for i, c in enumerate(contigs)))

@@ -75,6 +75,14 @@ def main():
     )
     t_asm = time.monotonic() - t0
     contigs = [c for c in contigs if len(c) >= 1000]
+    n_pre_dedup, bp_pre_dedup = (len(contigs),
+                                 int(sum(len(c) for c in contigs)))
+    from biokanga_tpu.assembly.assemble import kmer_containment_dedup
+
+    # residual post-EC indels defeat the Hamming containment pass, so
+    # the raw contig set is heavily redundant; collapse it the
+    # indel-tolerant way (canonical-32-mer coverage)
+    contigs = kmer_containment_dedup(contigs)
     clean = sum(1 for c in contigs if kmer_recovery(c, gk) >= 0.995)
     row = {
         "metric": "pacbio_contigs_n50_from_corrected_reads",
@@ -86,6 +94,8 @@ def main():
             "ec_rounds": 2, "ec_wall_s": round(t_ec, 1),
             "ec_kmer32_recovery_sample": round(ec_acc, 4),
             "asm_wall_s": round(t_asm, 1),
+            "n_contigs_pre_dedup": n_pre_dedup,
+            "total_bp_pre_dedup": bp_pre_dedup,
             "n_contigs": len(contigs),
             "max_contig": max((len(c) for c in contigs), default=0),
             "total_bp": int(sum(len(c) for c in contigs)),

@@ -102,3 +102,26 @@ def test_containment_removal_unfragments():
     lens = sorted((len(c) for c in contigs), reverse=True)
     assert lens[0] > 4000
     assert sum(lens) < 1.3 * 8000  # little redundancy survives
+
+
+def test_kmer_containment_dedup_indel_tolerant():
+    """A contig equal to a kept one except for a single INDEL (which
+    defeats Hamming containment entirely) is collapsed; genuinely novel
+    sequence survives."""
+    import numpy as np
+
+    from biokanga_tpu.assembly.assemble import kmer_containment_dedup
+    from biokanga_tpu.seq.encode import revcomp
+
+    rng = np.random.default_rng(4)
+    big = rng.integers(0, 4, size=5000, dtype=np.int8)
+    # near-duplicate: window of big with one base DELETED mid-way
+    dup = np.concatenate([big[100:2100], big[2101:4100]])
+    # rc near-duplicate with one inserted base
+    ins = np.insert(big[500:3500], 1500, 2).astype(np.int8)
+    dup_rc = revcomp(ins)
+    novel = rng.integers(0, 4, size=3000, dtype=np.int8)
+    out = kmer_containment_dedup([dup, big, novel, dup_rc])
+    outb = {o.tobytes() for o in out}
+    assert big.tobytes() in outb and novel.tobytes() in outb
+    assert dup.tobytes() not in outb and dup_rc.tobytes() not in outb
