@@ -10,23 +10,31 @@ the reference's LocateCoreMultiples extension loop,
 libbiokanga/SfxArrayV2.cpp:5693+):
 
   1. sort the indices once on device (lax.sort; ~10 ms for 6.3 M),
-  2. stream the table through VMEM in S-row tiles with a double-buffered
+  2. stream the table through VMEM in tiles with a double-buffered
      DMA pipeline (tile t+1 in flight while t is consumed),
   3. per tile, process exactly the sorted-index range that lands in it
      (tile boundaries via one searchsorted, prefetched to SMEM), the
-     in-tile gather being VMEM-local.
+     in-tile gather running on the MXU.
 
 Total HBM traffic = one sequential pass over the table + the index and
 result arrays, independent of the gather count; the random access
-happens VMEM-side where latency is ~20x lower.  The caller gets rows in
-SORTED-index order plus the sort permutation (consumers either work in
-sorted order or invert with one small scalar-table gather).
+happens VMEM-side.
+
+In-tile gather mechanics (Mosaic constraint-driven: `tpu.dynamic_gather`
+is single-vreg along the gather dim, and lane slices must be
+128-aligned, so neither `take` nor 16-lane byte-plane matmuls lower):
+the table is viewed as (R/8, 128) uint32 LINES of 8 rows; a tile's
+lines expand once to 4 byte planes laid out as (LINES, 4*128) bf16
+(byte values are exact in bf16); a block of NB sorted indices gathers
+its LINES with one one-hot (NB, LINES) x (LINES, 512) MXU matmul
+(exact: each one-hot row has a single 1, f32 accumulate), and the
+candidate's sub-row within the line is resolved by elementwise lane
+masking — no lane shuffles anywhere.
 
 Probe: scripts/probe_stream_gather.py (measured numbers in PERF.md).
-Two in-tile gather strategies (probe picks the faster that lowers):
-  take — jnp.take on the VMEM-resident tile (Mosaic dynamic gather),
-  mxu  — one-hot matmul over byte planes (exact: one-hot rows have a
-         single 1, byte values <= 255 are exact in bf16, f32 acc).
+The checksum consume is defined byte-wise (sum over selected bytes of
+byte ^ index-byte, mod 2^32) so the XLA reference computes the
+identical quantity.
 """
 from __future__ import annotations
 
@@ -37,144 +45,106 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ROW_WORDS = 16          # 64 B rows
+ROWS_PER_LINE = 8       # (8 rows x 16 words) = one 128-lane line
+LANES = ROWS_PER_LINE * ROW_WORDS  # 128
 
-def _dma(table_hbm, tiles, sems, tt, slot, S):
+
+def _dma(lines_hbm, tiles, sems, tt, slot, SL):
     return pltpu.make_async_copy(
-        table_hbm.at[pl.ds(tt * S, S)], tiles.at[slot], sems.at[slot])
+        lines_hbm.at[pl.ds(tt * SL, SL)], tiles.at[slot], sems.at[slot])
 
 
-def _consume_kernel_take(offs_ref, sidx_ref, table_hbm, out_ref,
-                         tiles, sems, *, S, NB, W, T):
-    """Grid program t: double-buffer tile t's S rows HBM->VMEM, gather
-    the sorted indices in [offs[t], offs[t+1]) from the resident tile,
-    XOR-consume, accumulate an (NB, W) int32 checksum block."""
+def _consume_kernel(offs_ref, sidx_ref, lines_hbm, out_ref,
+                    tiles, planes, sems, *, SL, NB, T):
+    """Grid program t: double-buffer tile t's SL lines HBM->VMEM, expand
+    byte planes, gather each in-tile sorted-index block with one one-hot
+    MXU matmul, XOR-consume bytes, accumulate an (NB, 512) int32
+    checksum block."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
-        _dma(table_hbm, tiles, sems, 0, 0, S).start()
+        _dma(lines_hbm, tiles, sems, 0, 0, SL).start()
 
     @pl.when(t + 1 < T)
     def _():
-        _dma(table_hbm, tiles, sems, t + 1, (t + 1) % 2, S).start()
+        _dma(lines_hbm, tiles, sems, t + 1, (t + 1) % 2, SL).start()
 
-    _dma(table_hbm, tiles, sems, t, t % 2, S).wait()
+    _dma(lines_hbm, tiles, sems, t, t % 2, SL).wait()
 
-    tile = tiles[t % 2]                      # (S, W) uint32
-    lo = offs_ref[t]
-    hi = offs_ref[t + 1]
-    nblk = (hi - lo + NB - 1) // NB
-
-    def body(i, acc):
-        start = lo + i * NB
-        gi = sidx_ref[pl.ds(start, NB)]          # (NB,) global row ids
-        msk = (start + jax.lax.iota(jnp.int32, NB)) < hi
-        li = jnp.clip(jnp.where(msk, gi - t * S, 0), 0, S - 1)
-        li2 = jnp.broadcast_to(li[:, None], (NB, W))
-        rows = jnp.take_along_axis(tile, li2, axis=0, mode="clip")
-        v = rows ^ gi.astype(jnp.uint32)[:, None]
-        v = jnp.where(msk[:, None], v, jnp.uint32(0))
-        return acc + v.astype(jnp.int32)
-
-    out_ref[...] += jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((NB, W), jnp.int32))
-
-
-def _consume_kernel_mxu(offs_ref, sidx_ref, table_hbm, out_ref,
-                        tiles, planes, sems, *, S, NB, SC, W, T):
-    """Same contract as _consume_kernel_take; in-tile gather via
-    one-hot MXU matmuls over byte planes."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        _dma(table_hbm, tiles, sems, 0, 0, S).start()
-
-    @pl.when(t + 1 < T)
-    def _():
-        _dma(table_hbm, tiles, sems, t + 1, (t + 1) % 2, S).start()
-
-    _dma(table_hbm, tiles, sems, t, t % 2, S).wait()
-
-    tile = tiles[t % 2]                      # (S, W) uint32
-    # byte planes (S, 4*W) bf16: plane k holds byte k of every word
+    tilew = tiles[t % 2]                     # (SL, 128) uint32 lines
     for k in range(4):
-        planes[:, k * W:(k + 1) * W] = (
-            (tile >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+        planes[:, k * LANES:(k + 1) * LANES] = (
+            (tilew >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
         ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
 
     lo = offs_ref[t]
     hi = offs_ref[t + 1]
-    nblk = (hi - lo + NB - 1) // NB
+    a0 = (lo // NB) * NB                 # NB-aligned block starts
+    nblk = (hi - a0 + NB - 1) // NB
+    base_row = t * SL * ROWS_PER_LINE
+
+    lane = jax.lax.iota(jnp.int32, 4 * LANES)[None, :]   # (1, 512)
+    k_grp = lane >> 7                    # byte plane 0..3
+    sub_row = (lane >> 4) & 7            # row within line 0..7
 
     def body(i, acc):
-        start = lo + i * NB
-        gi = sidx_ref[pl.ds(start, NB)]
-        msk = (start + jax.lax.iota(jnp.int32, NB)) < hi
-        li = jnp.clip(jnp.where(msk, gi - t * S, 0), 0, S - 1)
+        start = a0 + i * NB
+        gi = sidx_ref[pl.ds(start, NB)]          # (NB,) global row ids
+        pos = start + jax.lax.iota(jnp.int32, NB)
+        msk = (pos >= lo) & (pos < hi)
+        li = jnp.clip(jnp.where(msk, gi - base_row, 0),
+                      0, SL * ROWS_PER_LINE - 1)
+        line = li >> 3                           # (NB,) line index
+        jsub = (li & 7)[:, None]                 # (NB, 1) row-in-line
 
-        def schunk(s, facc):
-            oh = jnp.where(
-                li[:, None]
-                == s * SC + jax.lax.iota(jnp.int32, SC)[None, :],
-                jnp.float32(1), jnp.float32(0)).astype(jnp.bfloat16)
-            pl_c = planes[pl.ds(s * SC, SC), :]
-            return facc + jax.lax.dot_general(
-                oh, pl_c,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        oh = jnp.where(
+            line[:, None] == jax.lax.iota(jnp.int32, SL)[None, :],
+            jnp.float32(1), jnp.float32(0)).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh, planes[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (NB, 512)
+        b = g.astype(jnp.int32)                   # exact bytes 0..255
 
-        f = jax.lax.fori_loop(
-            0, S // SC, schunk, jnp.zeros((NB, 4 * W), jnp.float32))
-        b = f.astype(jnp.uint32)
-        rows = (b[:, 0:W] | (b[:, W:2 * W] << 8)
-                | (b[:, 2 * W:3 * W] << 16) | (b[:, 3 * W:4 * W] << 24))
-        v = rows ^ gi.astype(jnp.uint32)[:, None]
-        v = jnp.where(msk[:, None], v, jnp.uint32(0))
-        return acc + v.astype(jnp.int32)
+        gib = (gi[:, None] >> (jnp.int32(8) * k_grp)) & 255
+        v = b ^ gib
+        # (bool minor-dim inserts don't lower; re-derive the position
+        # mask from the 32-bit pos vector instead of msk[:, None])
+        ok = ((sub_row == jsub) & (pos[:, None] >= lo)
+              & (pos[:, None] < hi))
+        return acc + jnp.where(ok, v, 0)
 
     out_ref[...] += jax.lax.fori_loop(
-        0, nblk, body, jnp.zeros((NB, W), jnp.int32))
+        0, nblk, body, jnp.zeros((NB, 4 * LANES), jnp.int32))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_rows", "block", "schunk", "use_mxu"))
-def stream_gather_consume(table, idx, tile_rows=4096, block=1024,
-                          schunk=512, use_mxu=False):
-    """Checksum-consuming streaming gather (probe/verification entry):
-    returns sum_i (table[idx[i]] ^ idx[i]) summed mod 2^32 over all
-    words — bit-comparable with the XLA plain-gather consume.  The
-    row-producing integration point is the same kernel minus the XOR
-    reduction (rows land in sorted order)."""
+@functools.partial(jax.jit, static_argnames=("tile_lines", "block"))
+def stream_gather_consume(table, idx, tile_lines=512, block=1024):
+    """Byte-checksum-consuming streaming gather (probe/verification
+    entry): returns sum over i, k, w of
+    ((table[idx[i], w] >> 8k) & 0xFF) ^ ((idx[i] >> 8k) & 0xFF)
+    mod 2^32 — compute the identical quantity through an XLA gather to
+    verify.  The row-producing integration point is the same kernel
+    minus the XOR reduction."""
     R, W = table.shape
-    S = tile_rows
-    T = -(-R // S)
-    if R % S:
-        table = jnp.pad(table, ((0, T * S - R), (0, 0)))
+    assert W == ROW_WORDS
+    SL = tile_lines
+    lines = -(-R // ROWS_PER_LINE)
+    T = -(-lines // SL)
+    pad_rows_n = T * SL * ROWS_PER_LINE - R
+    if pad_rows_n:
+        table = jnp.pad(table, ((0, pad_rows_n), (0, 0)))
+    lines_hbm = table.reshape(T * SL, LANES)
     sidx = jnp.sort(idx.astype(jnp.int32))
     offs = jnp.searchsorted(
-        sidx, jnp.arange(T + 1, dtype=jnp.int32) * S).astype(jnp.int32)
-    # pad sidx so the last block's dynamic slice stays in bounds
-    sidx = jnp.pad(sidx, (0, block))
+        sidx, jnp.arange(T + 1, dtype=jnp.int32) * (SL * ROWS_PER_LINE)
+    ).astype(jnp.int32)
+    # pad sidx so aligned block loads stay in bounds
+    sidx = jnp.pad(sidx, (0, 2 * block))
 
-    if use_mxu:
-        kern = functools.partial(
-            _consume_kernel_mxu, S=S, NB=block, SC=schunk, W=W, T=T)
-        scratch = [
-            pltpu.VMEM((2, S, W), jnp.uint32),
-            pltpu.VMEM((S, 4 * W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    else:
-        kern = functools.partial(
-            _consume_kernel_take, S=S, NB=block, W=W, T=T)
-        scratch = [
-            pltpu.VMEM((2, S, W), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-
+    kern = functools.partial(_consume_kernel, SL=SL, NB=block, T=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -183,11 +153,15 @@ def stream_gather_consume(table, idx, tile_rows=4096, block=1024,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((2, SL, LANES), jnp.uint32),
+            pltpu.VMEM((SL, 4 * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((block, W), jnp.int32),
-    )(offs, sidx, table)
+        out_shape=jax.ShapeDtypeStruct((block, 4 * LANES), jnp.int32),
+    )(offs, sidx, lines_hbm)
     return jnp.sum(out, dtype=jnp.int32).astype(jnp.uint32)

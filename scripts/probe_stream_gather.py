@@ -1,10 +1,11 @@
 """Probe the Pallas streaming-tile gather (ops/stream_gather.py)
-against XLA plain / masked dual-half gathers on a past-the-cliff table
-(VERDICT r4 item 4).  Chained-execution timing (round-4 methodology:
-block_until_ready does not wait on the axon backend).
+against the XLA plain gather on a past-the-cliff table (VERDICT r4
+item 4).  Chained-execution timing (round-4 methodology:
+block_until_ready does not wait on the axon backend).  Both paths
+compute the same byte-wise XOR checksum, so correctness is asserted
+bit-for-bit.
 
 Usage: python scripts/probe_stream_gather.py [--mb 128] [--n 6291456]
-       [--interpret]   # CPU correctness check (tiny shapes)
 """
 from __future__ import annotations
 
@@ -18,11 +19,9 @@ sys.path.insert(0, REPO)
 
 
 def chained_time(fn, args, n=4):
-    """Chain n dependent executions; one device_get at the end."""
     import jax
 
     out = fn(*args)
-    out.block_until_ready()
     jax.device_get(out)
     t0 = time.monotonic()
     o = None
@@ -36,24 +35,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=128.0)
     ap.add_argument("--n", type=int, default=6_291_456)
-    ap.add_argument("--tile-rows", type=int, default=4096)
-    ap.add_argument("--interpret", action="store_true")
     a = ap.parse_args()
-
-    if a.interpret:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from biokanga_tpu.ops.stream_gather import stream_gather_consume
-
-    if a.interpret:
-        from jax.experimental.pallas import tpu as pltpu
-
-        pltpu.set_tpu_interpret_mode()
-        a.mb, a.n, a.tile_rows = 0.05, 3_000, 256
 
     R = int(a.mb * 1e6 / 64)
     rng = np.random.default_rng(0)
@@ -63,35 +51,33 @@ def main():
     print(f"table {table.nbytes / 1e6:.0f} MB ({R} rows), {a.n} gathers",
           flush=True)
 
-    def consume(v, i_):
-        return (v ^ i_[:, None].astype(jnp.uint32)).sum(dtype=jnp.uint32)
+    def consume_bytes(v, i_):
+        acc = jnp.uint32(0)
+        for k in range(4):
+            bk = (v >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+            gk = (i_[:, None].astype(jnp.uint32)
+                  >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+            acc += jnp.sum(bk ^ gk, dtype=jnp.uint32)
+        return acc
 
-    f_plain = jax.jit(lambda t_, i_: consume(t_[i_], i_))
+    f_plain = jax.jit(lambda t_, i_: consume_bytes(t_[i_], i_))
     want = int(jax.device_get(f_plain(table, idx)))
-    if not a.interpret:
-        t = chained_time(f_plain, (table, idx))
-        print(f"xla plain              {t*1e3:8.1f} ms  "
-              f"{a.n/t/1e6:7.1f} M rows/s", flush=True)
+    t = chained_time(f_plain, (table, idx))
+    print(f"xla plain (byte checksum) {t*1e3:8.1f} ms  "
+          f"{a.n/t/1e6:7.1f} M rows/s", flush=True)
 
-    for name, kw in (
-        ("pallas take", dict(use_mxu=False)),
-        ("pallas mxu ", dict(use_mxu=True)),
-    ):
-        for S in (a.tile_rows, a.tile_rows * 4):
-            try:
-                f = lambda t_, i_: stream_gather_consume(
-                    t_, i_, tile_rows=S, **kw)
-                got = int(jax.device_get(f(table, idx)))
-                ok = "OK " if got == want else f"BAD got={got} want={want}"
-                if a.interpret:
-                    print(f"{name} S={S:6d}  {ok}", flush=True)
-                    continue
-                t = chained_time(f, (table, idx))
-                print(f"{name} S={S:6d} {t*1e3:8.1f} ms  "
-                      f"{a.n/t/1e6:7.1f} M rows/s  {ok}", flush=True)
-            except Exception as e:
-                print(f"{name} S={S:6d}  FAILED: "
-                      f"{str(e).splitlines()[0][:200]}", flush=True)
+    for SL, NB in ((256, 1024), (512, 1024), (1024, 1024), (512, 2048)):
+        try:
+            f = lambda t_, i_: stream_gather_consume(
+                t_, i_, tile_lines=SL, block=NB)
+            got = int(jax.device_get(f(table, idx)))
+            ok = "OK " if got == want else f"BAD got={got} want={want}"
+            t = chained_time(f, (table, idx))
+            print(f"pallas SL={SL:5d} NB={NB:5d} {t*1e3:8.1f} ms  "
+                  f"{a.n/t/1e6:7.1f} M rows/s  {ok}", flush=True)
+        except Exception as e:
+            print(f"pallas SL={SL:5d} NB={NB:5d}  FAILED: "
+                  f"{repr(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
