@@ -23,6 +23,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -243,10 +245,29 @@ def align_core(genome, entry_starts, pos_rows, key_hi, key_lo, lut,
             arrays, seq, dp, H, cand_cap, owned, occ_skip=occ_skip)
         if packed is not None:
             rcodes, rnlane = pack_reads(seq, lengths)
-            mm = hamming_extend_packed(
-                packed, entry_starts, loci, vmask, rcodes, rnlane,
-                lengths,
+            # Past the VMEM staging cliff (>= ~1.75M packed rows =
+            # 112 MB) XLA's random row gather drops to ~43 M rows/s;
+            # the streaming-tile kernel holds ~133 (PERF.md round-5).
+            # Opt-in while the on-chip A/B matures:
+            # BIOKANGA_TPU_STREAM_EXTEND=1.
+            use_stream = (
+                os.environ.get("BIOKANGA_TPU_STREAM_EXTEND") == "1"
+                and packed.rows.shape[0] >= 1_750_000
+                and rcodes.shape[1] <= 8
+                and packed.n_rows is None
             )
+            if use_stream:
+                from ..ops.stream_gather import stream_extend_mm
+
+                mm = stream_extend_mm(
+                    packed.rows, loci, vmask, rcodes, rnlane, lengths,
+                    entry_starts, packed.length,
+                )
+            else:
+                mm = hamming_extend_packed(
+                    packed, entry_starts, loci, vmask, rcodes, rnlane,
+                    lengths,
+                )
         else:
             mm = hamming_extend(
                 genome, entry_starts, loci, vmask, seq, lengths
